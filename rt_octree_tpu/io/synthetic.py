@@ -1,0 +1,185 @@
+"""Procedural PlenOctree generation for tests and benchmarks.
+
+No scene data ships with this environment, so benchmarks and end-to-end
+tests build octrees with the same on-disk format, topology statistics
+(sparse, deep where occupied) and data layout as real PlenOctrees
+(see io/n3tree.py for the format contract).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from .n3tree import BasisFormat, DataFormat, N3Tree, from_npz_dict
+
+
+def _occupancy_pyramid(occ_fine: np.ndarray, N: int, depth: int):
+    """occ[l] of shape (N^l,)*3 for l=0..depth, by N^3 any-reduction."""
+    levels = [occ_fine]
+    cur = occ_fine
+    for _ in range(depth):
+        r = cur.shape[0] // N
+        cur = cur.reshape(r, N, r, N, r, N).any(axis=(1, 3, 5))
+        levels.append(cur)
+    levels.reverse()  # levels[l] has resolution N^l
+    return levels
+
+
+def build_tree(
+    sigma_fn: Callable[[np.ndarray], np.ndarray],
+    color_fn: Callable[[np.ndarray, int], np.ndarray],
+    depth: int = 7,
+    N: int = 2,
+    basis_dim: int = 9,
+    sigma_eps: float = 1e-3,
+    offset=(0.5, 0.5, 0.5),
+    scale=(0.5, 0.5, 0.5),
+) -> N3Tree:
+    """Build an N^3-tree whose leaves resolve wherever sigma > sigma_eps.
+
+    sigma_fn(pos[ M,3 in tree space 0..1]) -> [M] densities
+    color_fn(pos[M,3], basis_dim) -> [M, 3*basis_dim] SH coefficients
+    """
+    res = N ** depth
+    # fine-grid occupancy from cell centers
+    g = (np.arange(res) + 0.5) / res
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pos_fine = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    occ_fine = (sigma_fn(pos_fine) > sigma_eps).reshape(res, res, res)
+    occ = _occupancy_pyramid(occ_fine, N, depth)
+
+    # nodes: level l in [0, depth-1]; a cell is a node iff occupied
+    # (root level 0 is always a node)
+    node_cells = []  # per level: sorted flat cell indices that are nodes
+    for l in range(depth):
+        r = N ** l
+        if l == 0:
+            node_cells.append(np.array([0], np.int64))
+        else:
+            flat = np.nonzero(occ[l].reshape(-1))[0]
+            node_cells.append(flat)
+    level_offset = np.zeros(depth + 1, np.int64)
+    for l in range(depth):
+        level_offset[l + 1] = level_offset[l] + len(node_cells[l])
+    n_nodes = int(level_offset[depth])
+
+    N3 = N ** 3
+    data_dim = 3 * basis_dim + 1
+    child = np.zeros((n_nodes, N3), np.int32)
+    data = np.zeros((n_nodes, N3, data_dim), np.float16)
+
+    for l in range(depth):
+        cells = node_cells[l]
+        if len(cells) == 0:
+            continue
+        node_ids = level_offset[l] + np.arange(len(cells))
+        r = N ** l
+        cx = cells // (r * r)
+        cy = (cells // r) % r
+        cz = cells % r
+        rc = r * N
+        # child cell coords for each of the N3 slots
+        ii, jj, kk = np.meshgrid(np.arange(N), np.arange(N), np.arange(N),
+                                 indexing="ij")
+        ccx = cx[:, None] * N + ii.reshape(-1)[None, :]
+        ccy = cy[:, None] * N + jj.reshape(-1)[None, :]
+        ccz = cz[:, None] * N + kk.reshape(-1)[None, :]
+        ccell = (ccx * rc + ccy) * rc + ccz  # [n_l, N3] child cell flat idx
+
+        # which child cells are themselves nodes at level l+1?
+        skips = np.zeros_like(ccell)
+        if l + 1 < depth and len(node_cells[l + 1]):
+            next_cells = node_cells[l + 1]
+            pos_in_next = np.searchsorted(next_cells, ccell)
+            pos_in_next = np.clip(pos_in_next, 0, len(next_cells) - 1)
+            is_node = next_cells[pos_in_next] == ccell
+            child_ids = level_offset[l + 1] + pos_in_next
+            skips = np.where(is_node, child_ids - node_ids[:, None], 0)
+        # slot axis is already in (i*N+j)*N+k order (k fastest in meshgrid)
+        child[node_ids] = skips.astype(np.int32)
+
+        # leaf data at child-cell centers
+        centers = np.stack(
+            [(ccx + 0.5) / rc, (ccy + 0.5) / rc, (ccz + 0.5) / rc],
+            axis=-1).reshape(-1, 3)
+        sig = sigma_fn(centers).astype(np.float16)
+        col = color_fn(centers, basis_dim).astype(np.float16)
+        d = np.concatenate([col, sig[:, None]], axis=-1)
+        data[node_ids] = d.reshape(len(cells), N3, data_dim)
+
+    tree = N3Tree(
+        data=data.reshape(-1, data_dim),
+        child=child.reshape(-1),
+        offset=np.asarray(offset, np.float32),
+        scale=np.asarray(scale, np.float32),
+        N=N, data_dim=data_dim,
+        data_format=DataFormat(BasisFormat.SH, basis_dim),
+        capacity=n_nodes, max_depth=depth)
+    return tree
+
+
+def shell_sigma(pos: np.ndarray, center=(0.5, 0.5, 0.5), radius=0.3,
+                thickness=0.05, amplitude=60.0) -> np.ndarray:
+    """Spherical shell density: high sigma near |p-c| == radius."""
+    d = np.linalg.norm(pos - np.asarray(center), axis=-1)
+    return amplitude * np.exp(-((d - radius) / thickness) ** 2)
+
+
+def blob_sigma(pos: np.ndarray, seed: int = 0, n_blobs: int = 24,
+               amplitude: float = 80.0) -> np.ndarray:
+    """Union of gaussian blobs -- irregular occupancy like real scenes."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(0.2, 0.8, (n_blobs, 3))
+    radii = rng.uniform(0.02, 0.12, n_blobs)
+    out = np.zeros(pos.shape[0])
+    for c, r in zip(centers, radii):
+        d = np.linalg.norm(pos - c, axis=-1)
+        out += amplitude * np.exp(-((d / r) ** 2) * 4)
+    return out
+
+
+def position_color(pos: np.ndarray, basis_dim: int) -> np.ndarray:
+    """SH coefficients: DC from position (pre-sigmoid logits), small
+    deterministic higher-order terms."""
+    M = pos.shape[0]
+    out = np.zeros((M, 3 * basis_dim), np.float32)
+    # DC components per channel (sigmoid(SH(dir).c) ~ position-hued)
+    C0 = 0.28209479177387814
+    logits = 4.0 * (pos - 0.5)  # in [-2, 2]
+    for c in range(3):
+        out[:, c * basis_dim] = logits[:, c] / C0
+        if basis_dim > 1:
+            out[:, c * basis_dim + 1] = 0.3 * np.sin(12.3 * pos[:, c])
+            out[:, c * basis_dim + 2] = 0.2 * np.cos(7.7 * pos[:, (c + 1) % 3])
+    return out
+
+
+def make_synthetic_tree(kind: str = "shell", depth: int = 7,
+                        basis_dim: int = 9) -> N3Tree:
+    if kind == "shell":
+        return build_tree(shell_sigma, position_color, depth=depth,
+                          basis_dim=basis_dim)
+    if kind == "blobs":
+        return build_tree(blob_sigma, position_color, depth=depth,
+                          basis_dim=basis_dim)
+    raise ValueError(kind)
+
+
+def tree_to_npz_dict(tree: N3Tree) -> dict:
+    """Round-trip a tree into the on-disk npz key set."""
+    N3 = tree.N3
+    cap = tree.child.shape[0] // N3
+    return {
+        "data_dim": np.int64(tree.data_dim),
+        "data_format": np.str_(tree.data_format.to_string()),
+        "invradius3": tree.scale.astype(np.float32),
+        "offset": tree.offset.astype(np.float32),
+        "child": tree.child.reshape(cap, tree.N, tree.N, tree.N),
+        "data": tree.data.reshape(cap, tree.N, tree.N, tree.N, tree.data_dim),
+    }
+
+
+def save_npz(tree: N3Tree, path: str) -> None:
+    np.savez(path, **tree_to_npz_dict(tree))

@@ -1,0 +1,169 @@
+"""Batched octree traversal on device.
+
+Reference semantics: renderer/include/volrend/internal/n3tree_query.hpp:13-48
+(stackless root-to-leaf descent).  TPU redesign: the per-thread pointer
+chase becomes a fixed-depth vectorized descent over whole ray batches (one
+[R]-shaped int gather per level), optionally short-circuited by a dense
+jump LUT (io/n3tree.py JumpLut) that resolves the first ``lut_levels``
+levels with a single gather -- leaves above that depth (all of empty
+space) finish in one lookup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.n3tree import JumpLut, N3Tree, build_jump_lut
+
+LUT_PTR_BITS = 27
+LUT_DEPTH_SENTINEL = (1 << 5) - 1  # depth field all-ones => internal node
+
+
+@flax.struct.dataclass
+class DeviceTree:
+    """Device-resident tree arrays + static metadata.
+
+    Array fields are pytree leaves; metadata fields are static (hashable)
+    so jit re-specializes per tree topology class.
+    """
+
+    data: jax.Array  # [M, data_dim] f16
+    child: jax.Array  # [M] i32
+    sigma: jax.Array  # [M] f16 (compact copy of data[:, -1])
+    offset: jax.Array  # [3] f32
+    scale: jax.Array  # [3] f32
+    extra: jax.Array  # [E] f32 (SG/ASG) or [0]
+    lut: jax.Array  # [res^3] i32 packed (depth<<27 | ptr), or [0]
+
+    N: int = flax.struct.field(pytree_node=False)
+    data_dim: int = flax.struct.field(pytree_node=False)
+    basis_dim: int = flax.struct.field(pytree_node=False)
+    fmt: int = flax.struct.field(pytree_node=False)  # BasisFormat.value
+    max_depth: int = flax.struct.field(pytree_node=False)
+    lut_levels: int = flax.struct.field(pytree_node=False)
+    # (width, height, focal) or None
+    ndc: Optional[tuple] = flax.struct.field(pytree_node=False, default=None)
+
+    @property
+    def N3(self) -> int:
+        return self.N ** 3
+
+
+def pack_lut(lut: JumpLut) -> Optional[np.ndarray]:
+    """Pack (ptr, depth) into one int32; None if pointers don't fit."""
+    if lut.ptr.max(initial=0) >= (1 << LUT_PTR_BITS):
+        return None
+    depth = np.where(lut.depth == JumpLut.SENTINEL,
+                     np.int32(LUT_DEPTH_SENTINEL), lut.depth.astype(np.int32))
+    return ((depth << LUT_PTR_BITS) | lut.ptr.astype(np.int32)).astype(np.int32)
+
+
+def upload_tree(tree: N3Tree, lut_levels: int = 7,
+                device=None) -> DeviceTree:
+    """Host tree -> device arrays.  ``lut_levels=0`` disables the LUT."""
+    lut_arr = np.zeros(0, np.int32)
+    eff_levels = 0
+    if lut_levels > 0 and tree.max_depth > 0:
+        lut = build_jump_lut(tree, lut_levels)
+        packed = pack_lut(lut)
+        if packed is not None:
+            lut_arr = packed
+            eff_levels = lut.levels
+
+    extra = tree.extra if tree.extra is not None else np.zeros(0, np.float32)
+    ndc = None
+    if tree.use_ndc and tree.ndc_width > 0:
+        ndc = (float(tree.ndc_width), float(tree.ndc_height),
+               float(tree.ndc_focal))
+
+    put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+    return DeviceTree(
+        data=put(tree.data),
+        child=put(tree.child),
+        sigma=put(np.ascontiguousarray(tree.data[:, tree.data_dim - 1])),
+        offset=put(tree.offset),
+        scale=put(tree.scale),
+        extra=put(np.asarray(extra, np.float32)),
+        lut=put(lut_arr),
+        N=tree.N,
+        data_dim=tree.data_dim,
+        basis_dim=tree.data_format.basis_dim,
+        fmt=tree.data_format.format.value,
+        max_depth=max(tree.max_depth, 1),
+        lut_levels=eff_levels,
+        ndc=ndc,
+    )
+
+
+def tree_query(tree: DeviceTree, pos: jnp.ndarray, active=None):
+    """Vectorized root-to-leaf query.
+
+    pos: [R, 3] tree-space coordinates in [0, 1].
+    Returns (sub_ptr [R] i32, cube_sz [R] f32, local [R,3] f32) where
+    ``local`` is the position inside the leaf cube in [0,1) -- the same
+    in-place-mutated xyz the reference query leaves behind
+    (n3tree_query.hpp:29-33), which rt_core.cuh:249 feeds to _dda_unit.
+    """
+    N = tree.N
+    fN = float(N)
+    N3 = tree.N3
+    R = pos.shape[0]
+    pos = jnp.clip(pos, 0.0, 1.0 - 1e-6)
+
+    if active is None:
+        active = jnp.ones(R, bool)
+
+    if tree.lut_levels > 0:
+        res = N ** tree.lut_levels
+        cell = jnp.floor(pos * res).astype(jnp.int32)
+        cell = jnp.clip(cell, 0, res - 1)
+        flat = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+        flat = jnp.where(active, flat, 0)
+        e = jnp.take(tree.lut, flat, axis=0)
+        depth = (e >> LUT_PTR_BITS) & LUT_DEPTH_SENTINEL
+        ptr_e = e & ((1 << LUT_PTR_BITS) - 1)
+        shallow = depth < LUT_DEPTH_SENTINEL
+
+        done = shallow
+        sub_ptr = jnp.where(shallow, ptr_e, 0)
+        cube = jnp.where(shallow, jnp.exp2(depth.astype(jnp.float32) *
+                                           np.log2(fN)), 0.0)
+        # continued descent state for deep cells
+        node_ptr = jnp.where(shallow, 0, ptr_e)
+        xyz = pos * res - jnp.floor(pos * res)
+        cur_cube = jnp.full((R,), float(N ** (tree.lut_levels + 1)),
+                            jnp.float32)
+        start_level = tree.lut_levels
+    else:
+        done = jnp.zeros(R, bool)
+        sub_ptr = jnp.zeros(R, jnp.int32)
+        cube = jnp.zeros(R, jnp.float32)
+        node_ptr = jnp.zeros(R, jnp.int32)
+        xyz = pos
+        cur_cube = jnp.full((R,), fN, jnp.float32)
+        start_level = 0
+
+    for _ in range(tree.max_depth - start_level):
+        xyzN = xyz * fN
+        digit = jnp.floor(xyzN)
+        index = ((digit[:, 0] * fN + digit[:, 1]) * fN +
+                 digit[:, 2]).astype(jnp.int32)
+        sub = node_ptr * N3 + index
+        skip = jnp.take(tree.child, jnp.where(done | ~active, 0, sub), axis=0)
+        is_leaf = (skip == 0) & ~done
+        sub_ptr = jnp.where(is_leaf, sub, sub_ptr)
+        cube = jnp.where(is_leaf, cur_cube, cube)
+        done = done | is_leaf
+        node_ptr = jnp.where(done, node_ptr, node_ptr + skip)
+        xyz = xyzN - digit
+        cur_cube = cur_cube * fN
+
+    # leaf-local coordinates: frac(pos * cube) (exact for N=2)
+    local = pos * cube[:, None]
+    local = local - jnp.floor(local)
+    return sub_ptr, cube, local
