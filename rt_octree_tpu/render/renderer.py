@@ -79,7 +79,11 @@ def device_camera_rays(transform: jnp.ndarray, width: int, height: int,
         jnp.full((height, width), -1.0, jnp.float32),
     ], axis=-1).reshape(-1, 3)
     R = transform[:, :3]
-    dirs = xyz @ R.T
+    # elementwise mat-vec: keeps f32 exactness on TPU (MXU matmuls default
+    # to bf16 inputs, which perturbs ray directions enough to change leaf
+    # visit sequences vs the scalar oracle)
+    dirs = (xyz[:, 0:1] * R[:, 0][None, :] + xyz[:, 1:2] * R[:, 1][None, :] +
+            xyz[:, 2:3] * R[:, 2][None, :])
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     cen = jnp.broadcast_to(transform[:, 3], dirs.shape)
     return dirs, cen
@@ -93,7 +97,7 @@ def rodrigues_jnp(aa, dirs):
     k = aa / safe_angle
     cos_a, sin_a = jnp.cos(angle), jnp.sin(angle)
     cross = jnp.cross(jnp.broadcast_to(k, dirs.shape), dirs)
-    dot = dirs @ k
+    dot = jnp.sum(dirs * k, axis=-1)
     rotated = (dirs * cos_a + cross * sin_a +
                k[None, :] * dot[:, None] * (1.0 - cos_a))
     return jnp.where(angle < 1e-6, dirs, rotated)
@@ -241,13 +245,15 @@ def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
         basis = basis * jnp.asarray(mask, jnp.float32)[None, :]
 
         coeffs = vals[..., :3 * basis_dim].reshape(R, spp, 3, basis_dim)
-        logits = jnp.einsum("rscb,rb->rsc", coeffs, basis)
+        logits = jnp.einsum("rscb,rb->rsc", coeffs, basis,
+                            precision=jax.lax.Precision.HIGHEST)
         rgb_per_leaf = jax.nn.sigmoid(logits)  # [R, spp, 3]
     else:
         rgb_per_leaf = vals[..., :3]
 
     w = jnp.where(valid, cnts, 0.0)
-    rgb = jnp.einsum("rsc,rs->rc", rgb_per_leaf, w) / spp
+    rgb = jnp.einsum("rsc,rs->rc", rgb_per_leaf, w,
+                     precision=jax.lax.Precision.HIGHEST) / spp
     alpha = jnp.sum(w, axis=1) / spp
     return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 

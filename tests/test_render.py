@@ -1,0 +1,81 @@
+"""Whole-image golden tests: XLA renderer vs the NumPy oracle.
+
+Both sides consume the identical PCG32 stream, so images must agree to
+float-reassociation tolerance (the oracle accumulates sequentially, XLA
+may reorder reductions).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rt_octree_tpu.core.camera import Camera
+from rt_octree_tpu.core.options import RenderOptions
+from rt_octree_tpu.core.oracle import render_frame_oracle
+from rt_octree_tpu.io import synthetic
+from rt_octree_tpu.ops.traversal import upload_tree
+from rt_octree_tpu.render.renderer import Renderer
+from rt_octree_tpu.utils.rng import Pcg32
+
+
+@pytest.fixture(scope="module")
+def tree():
+    return synthetic.make_synthetic_tree("shell", depth=4, basis_dim=4)
+
+
+def make_camera(w=24, h=24):
+    cam = Camera(width=w, height=h, fx=40.0, fy=40.0)
+    # default pose looks at origin from (-3.55, 0, 3.55)
+    return cam
+
+
+@pytest.mark.parametrize("spp,lut_levels", [(2, 0), (6, 3)])
+def test_render_matches_oracle(tree, spp, lut_levels):
+    cam = make_camera()
+    opt = RenderOptions(spp=spp, denoise=False, background_brightness=1.0)
+    dt = upload_tree(tree, lut_levels=lut_levels)
+
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt,
+                 n_chunks=2)
+    img, aux = r.render(cam.transform)
+    img, aux = np.asarray(img), np.asarray(aux)
+
+    rng = Pcg32(20230418)
+    img_ref, aux_ref = render_frame_oracle(tree, cam, opt, rng)
+
+    np.testing.assert_allclose(img, img_ref, atol=2e-5,
+                               err_msg="image mismatch vs oracle")
+    np.testing.assert_allclose(aux, aux_ref, atol=4e-5)
+    # scene must actually be visible (not all background)
+    assert aux[3].max() > 0.5
+
+
+def test_frame_rng_advance_changes_noise(tree):
+    cam = make_camera()
+    opt = RenderOptions(spp=1, denoise=False)
+    dt = upload_tree(tree, lut_levels=0)
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt)
+    img1, _ = r.render(cam.transform)
+    r.advance_rng()
+    img2, _ = r.render(cam.transform)
+    img1, img2 = np.asarray(img1), np.asarray(img2)
+    assert not np.array_equal(img1, img2)
+
+    # and the second frame matches the oracle at the advanced state
+    rng = Pcg32(20230418)
+    rng.advance()
+    img2_ref, _ = render_frame_oracle(tree, cam, opt, rng)
+    np.testing.assert_allclose(img2, img2_ref, atol=2e-5)
+
+
+def test_empty_ray_is_background(tree):
+    cam = make_camera(8, 8)
+    opt = RenderOptions(spp=2, denoise=False, background_brightness=0.25)
+    dt = upload_tree(tree)
+    # camera looking away from the scene
+    cam.v_back = np.array([0.7071068, 0.0, -0.7071068], np.float32)
+    cam.update()
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt)
+    img, aux = r.render(cam.transform)
+    np.testing.assert_allclose(np.asarray(aux)[3], 0.0)
+    np.testing.assert_allclose(np.asarray(img)[..., :3], 0.25)
