@@ -27,9 +27,11 @@ import numpy as np
 
 from ..core.options import RenderOptions
 from ..io.n3tree import BasisFormat
+from ..models.guidance_net import GuidanceNetCompact, GuidanceNetConfig
+from ..ops.filtering import guided_filter
 from ..ops.sh import eval_asg_basis, eval_sg_basis, eval_sh_basis
 from ..ops.traversal import DeviceTree, tree_query
-from ..utils.rng import Pcg32, pcg32_uniforms_at
+from ..utils.rng import Pcg32, pcg32_uniforms_range
 
 FLT_MAX = float(np.finfo(np.float32).max)
 
@@ -269,24 +271,19 @@ def make_sorted_dst(uniforms: jnp.ndarray) -> jnp.ndarray:
     return jnp.sort(draws, axis=-1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "fx", "fy", "opt",
-                     "n_chunks", "max_steps", "inc"))
-def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo, *,
-                       width: int, height: int, fx: float, fy: float,
-                       opt: FrozenOptions, n_chunks: int,
-                       max_steps: int, inc: int):
+def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
+                  width: int, height: int, fx: float, fy: float,
+                  opt: FrozenOptions, n_chunks: int, max_steps: int,
+                  inc: int):
+    """Trace + composite + aux assembly (the reference render_kernel)."""
     R = width * height
     spp = opt.spp
     dirs, cens = device_camera_rays(transform, width, height, fx, fy)
     vdirs = rodrigues_jnp(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
     wdirs, wcens = maybe_world2ndc(tree, dirs, cens)
 
-    offsets = jnp.arange(R * spp, dtype=jnp.uint32).reshape(R, spp)
-    nbits = max(int(R * spp - 1).bit_length(), 1)
-    uniforms = pcg32_uniforms_at(state_hi, state_lo, offsets, inc=inc,
-                                 nbits=nbits)
+    uniforms = pcg32_uniforms_range(
+        state_hi, state_lo, n=R * spp, inc=inc).reshape(R, spp)
     dst = make_sorted_dst(uniforms)
 
     chunk = R // n_chunks
@@ -321,6 +318,33 @@ def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo, *,
     return img, aux
 
 
+def _denoise(aux, noisy_img, net_params, net_cfg: GuidanceNetConfig):
+    """GuidanceNet forward + guided filtering, fully fused on device
+    (replaces the TorchScript boundary at denoiser.cpp:39-56)."""
+    model = GuidanceNetCompact(net_cfg)
+    aux_nhwc = jnp.moveaxis(aux, 0, -1)[None]  # [1, H, W, 8]
+    weight, guidance = model.apply({"params": net_params}, aux_nhwc)
+    return guided_filter(weight[0], guidance[0], noisy_img)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "fx", "fy", "opt",
+                     "n_chunks", "max_steps", "inc", "net_cfg"))
+def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo,
+                       net_params, *, width: int, height: int, fx: float,
+                       fy: float, opt: FrozenOptions, n_chunks: int,
+                       max_steps: int, inc: int,
+                       net_cfg: Optional[GuidanceNetConfig]):
+    img, aux = _render_noisy(
+        tree, transform, state_hi, state_lo, width=width, height=height,
+        fx=fx, fy=fy, opt=opt, n_chunks=n_chunks, max_steps=max_steps,
+        inc=inc)
+    if opt.denoise and net_cfg is not None:
+        img = _denoise(aux, img, net_params, net_cfg)
+    return img, aux
+
+
 class Renderer:
     """Frame renderer owning the per-frame RNG protocol.
 
@@ -346,22 +370,38 @@ class Renderer:
         self.n_chunks = n_chunks
         self.max_steps = max_steps
         self.rng = Pcg32(seed)
+        self.net_cfg: Optional[GuidanceNetConfig] = None
+        self.net_params = None
+
+    def set_denoiser(self, cfg_or_path, params=None) -> None:
+        """Attach a compact GuidanceNet (mirrors create_denoiser /
+        Denoiser::Impl ctor, denoiser.cpp:12-29)."""
+        if isinstance(cfg_or_path, (str, bytes)):
+            from ..models.guidance_net import load_compact
+            self.net_cfg, self.net_params = load_compact(cfg_or_path)
+        else:
+            self.net_cfg = cfg_or_path
+            self.net_params = params
 
     def advance_rng(self):
         self.rng.advance()
 
     def render(self, transform: np.ndarray):
         """transform: [3,4] c2w.  Returns (img [H,W,4], aux [8,H,W]) device
-        arrays (not synchronized)."""
+        arrays (not synchronized).  If denoise is on and a denoiser is
+        attached, img is the filtered output; aux always carries the noisy
+        statistics (the reference writes aux before denoising)."""
         opt = self.options
+        denoise = opt.denoise and self.net_cfg is not None
         return _render_frame_impl(
             self.tree, jnp.asarray(transform, jnp.float32),
             jnp.uint32(self.rng.state >> 32),
             jnp.uint32(self.rng.state & 0xFFFFFFFF),
+            self.net_params if denoise else 0,
             width=self.width, height=self.height, fx=self.fx, fy=self.fy,
             opt=FrozenOptions.from_options(opt),
             n_chunks=self.n_chunks, max_steps=self.max_steps,
-            inc=self.rng.inc)
+            inc=self.rng.inc, net_cfg=self.net_cfg if denoise else None)
 
 
 def _auto_chunks(height: int) -> int:

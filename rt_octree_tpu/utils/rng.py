@@ -188,6 +188,69 @@ def pcg32_uniforms_at(state_hi, state_lo, offsets, *, inc: int, nbits: int = 31)
     return _uint_to_unit_float(_pcg_output(sh, sl))
 
 
+def _step_tables(inc: int, block: int) -> tuple[np.ndarray, np.ndarray]:
+    """(A_j, C_j) such that advancing j sequential steps maps
+    S -> A_j*S + C_j; shape [block, 2] uint32 (hi, lo) pairs."""
+    A = np.zeros((block, 2), np.uint32)
+    C = np.zeros((block, 2), np.uint32)
+    a, c = 1, 0
+    for j in range(block):
+        A[j] = (a >> 32, a & _M32)
+        C[j] = (c >> 32, c & _M32)
+        c = (c * PCG32_MULT + inc) & _M64
+        a = (a * PCG32_MULT) & _M64
+    return A, C
+
+
+@functools.partial(jax.jit, static_argnames=("n", "inc", "block"))
+def pcg32_uniforms_range(state_hi, state_lo, *, n: int, inc: int,
+                         block: int = 32):
+    """Uniforms at stream positions 0..n-1, cheaply.
+
+    Two-level jump-ahead: positions are i*block + j; the i-strides use the
+    O(log) Brown advance on n/block lanes, the j-strides are a static
+    unrolled affine expansion -- ~2 u64-multiplies per output instead of
+    ~31, which matters because TPU u32 multiplies are emulated on the VPU.
+    """
+    nb = -(-n // block)
+    base_offsets = jnp.arange(nb, dtype=jnp.uint32) * jnp.uint32(block)
+    nbits = max(int(nb * block - 1).bit_length(), 1)
+
+    mults, pluss = _advance_tables(inc, nbits)
+    acc_mh = jnp.zeros((nb,), jnp.uint32)
+    acc_ml = jnp.ones((nb,), jnp.uint32)
+    acc_ph = jnp.zeros((nb,), jnp.uint32)
+    acc_pl = jnp.zeros((nb,), jnp.uint32)
+    for j in range(nbits):
+        bit = ((base_offsets >> jnp.uint32(j)) & jnp.uint32(1)).astype(bool)
+        mh = jnp.uint32(int(mults[j, 0]))
+        ml = jnp.uint32(int(mults[j, 1]))
+        ph = jnp.uint32(int(pluss[j, 0]))
+        pl = jnp.uint32(int(pluss[j, 1]))
+        nmh, nml = _mul64(acc_mh, acc_ml, mh, ml)
+        tph, tpl = _mul64(acc_ph, acc_pl, mh, ml)
+        nph, npl = _add64(tph, tpl, ph, pl)
+        acc_mh = jnp.where(bit, nmh, acc_mh)
+        acc_ml = jnp.where(bit, nml, acc_ml)
+        acc_ph = jnp.where(bit, nph, acc_ph)
+        acc_pl = jnp.where(bit, npl, acc_pl)
+    bh, bl = _mul64(acc_mh, acc_ml, state_hi, state_lo)
+    bh, bl = _add64(bh, bl, acc_ph, acc_pl)  # states at positions i*block
+
+    A, C = _step_tables(inc, block)
+    cols = []
+    for j in range(block):
+        ah = jnp.uint32(int(A[j, 0]))
+        al = jnp.uint32(int(A[j, 1]))
+        ch = jnp.uint32(int(C[j, 0]))
+        cl = jnp.uint32(int(C[j, 1]))
+        sh, sl = _mul64(ah, al, bh, bl)
+        sh, sl = _add64(sh, sl, ch, cl)
+        cols.append(_uint_to_unit_float(_pcg_output(sh, sl)))
+    out = jnp.stack(cols, axis=-1).reshape(nb * block)
+    return out[:n]
+
+
 def frame_uniforms(rng: Pcg32, n_pixels: int, spp: int) -> jnp.ndarray:
     """All per-pixel uniforms for one frame, shape [n_pixels, spp].
 

@@ -1,0 +1,111 @@
+"""Guided filtering op: forward vs naive oracle, fast==exact, gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rt_octree_tpu.ops.filtering import (
+    guided_filter, guided_filter_batch, _box_sum)
+
+
+def naive_filter(weight, guidance, img):
+    """Direct per-pixel restatement of the level filter semantics
+    (filtering.cu:108-228): out-of-bounds neighbors excluded, per-window
+    max stabilizer, weighted level blend, alpha=1."""
+    L, H, W = weight.shape
+    out = np.zeros((H, W, 3), np.float64)
+    for l in range(L):
+        s = l + 1
+        for y in range(H):
+            for x in range(W):
+                y0, y1 = max(y - s, 0), min(y + s, H - 1)
+                x0, x1 = max(x - s, 0), min(x + s, W - 1)
+                g = guidance[l, y0:y1 + 1, x0:x1 + 1].astype(np.float64)
+                m = g.max()
+                k = np.exp(g - m)
+                num = (img[y0:y1 + 1, x0:x1 + 1, :3] *
+                       k[..., None]).sum((0, 1))
+                out[y, x] += weight[l, y, x] * num / k.sum()
+    res = np.concatenate([out, np.ones((H, W, 1))], -1)
+    return res.astype(np.float32)
+
+
+@pytest.fixture
+def small_inputs(np_rng):
+    L, H, W = 3, 9, 7
+    weight = jax.nn.softmax(
+        jnp.asarray(np_rng.standard_normal((L, H, W)), jnp.float32), axis=0)
+    guidance = jnp.asarray(np_rng.standard_normal((L, H, W)) * 2, jnp.float32)
+    img = jnp.asarray(np_rng.random((H, W, 4)), jnp.float32)
+    return weight, guidance, img
+
+
+def test_box_sum():
+    x = jnp.arange(5.0).reshape(5, 1, 1)
+    out = np.asarray(_box_sum(x, 1)).reshape(5)
+    # rows: windows of column vector give 1-D running sums
+    np.testing.assert_allclose(out, [1, 3, 6, 9, 7])
+
+
+def test_exact_matches_naive(small_inputs):
+    weight, guidance, img = small_inputs
+    ours = np.asarray(guided_filter(weight, guidance, img, exact=True))
+    ref = naive_filter(np.asarray(weight), np.asarray(guidance),
+                       np.asarray(img))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_fast_matches_exact(small_inputs):
+    weight, guidance, img = small_inputs
+    a = np.asarray(guided_filter(weight, guidance, img, exact=True))
+    b = np.asarray(guided_filter(weight, guidance, img, exact=False))
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_gradients_match_between_paths(small_inputs):
+    weight, guidance, img = small_inputs
+
+    def loss(w, g, exact):
+        out = guided_filter(w, g, img, exact=exact)
+        return jnp.sum(out[..., :3] ** 2)
+
+    gw_e, gg_e = jax.grad(lambda w, g: loss(w, g, True), (0, 1))(
+        weight, guidance)
+    gw_f, gg_f = jax.grad(lambda w, g: loss(w, g, False), (0, 1))(
+        weight, guidance)
+    np.testing.assert_allclose(np.asarray(gw_e), np.asarray(gw_f),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gg_e), np.asarray(gg_f),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_gradient_weight_analytic(small_inputs):
+    """grad wrt weight must equal grad_output . rgb_filtered
+    (filtering.cu:230-248)."""
+    weight, guidance, img = small_inputs
+    go = jnp.ones_like(img)
+
+    def f(w):
+        return jnp.sum(guided_filter(w, guidance, img, exact=True) * go)
+
+    gw = np.asarray(jax.grad(f)(weight))
+    # rgb_filtered per level via naive computation with weight=1
+    L = weight.shape[0]
+    for l in range(L):
+        w1 = np.zeros_like(np.asarray(weight))
+        w1[l] = 1.0
+        f_l = naive_filter(w1, np.asarray(guidance), np.asarray(img))[..., :3]
+        np.testing.assert_allclose(gw[l], f_l.sum(-1), atol=1e-4)
+
+
+def test_batched(small_inputs):
+    weight, guidance, img = small_inputs
+    wb = jnp.stack([weight, weight * 0 + 1.0 / weight.shape[0]])
+    gb = jnp.stack([guidance, guidance * 0.5])
+    ib = jnp.stack([img, img * 0.5])
+    out = guided_filter_batch(wb, gb, ib)
+    assert out.shape == (2,) + img.shape[:2] + (4,)
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(guided_filter(weight, guidance, img)),
+        atol=1e-6)

@@ -79,3 +79,24 @@ def test_empty_ray_is_background(tree):
     img, aux = r.render(cam.transform)
     np.testing.assert_allclose(np.asarray(aux)[3], 0.0)
     np.testing.assert_allclose(np.asarray(img)[..., :3], 0.25)
+
+
+def test_render_with_denoiser(tree):
+    """Fused render+denoise: filtered output, aux stays noisy."""
+    import jax
+    from rt_octree_tpu.models.guidance_net import (
+        GuidanceNetConfig, init_params, compact_params)
+    cam = make_camera(16, 16)
+    opt = RenderOptions(spp=2, denoise=True)
+    dt = upload_tree(tree)
+    cfg = GuidanceNetConfig(mid_channels=8, num_layers=2, num_branches=2,
+                            kernel_levels=2)
+    params = compact_params(cfg, init_params(cfg, jax.random.PRNGKey(0)))
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt)
+    r.set_denoiser(cfg, params)
+    img, aux = r.render(cam.transform)
+    img, aux = np.asarray(img), np.asarray(aux)
+    assert np.isfinite(img).all()
+    np.testing.assert_allclose(img[..., 3], 1.0)
+    # aux carries the *noisy* image, not the filtered one
+    assert not np.allclose(img[..., 0], aux[0])

@@ -108,3 +108,16 @@ def test_large_offsets():
         )
     )
     np.testing.assert_array_equal(got, np.array(expected, np.float32))
+
+
+def test_uniforms_range_matches_at():
+    from rt_octree_tpu.utils.rng import pcg32_uniforms_range
+    base = Pcg32(RENDER_CONTEXT_SEED)
+    n = 300  # not a multiple of the 32 block
+    got = np.asarray(pcg32_uniforms_range(
+        jnp.uint32(base.state >> 32), jnp.uint32(base.state & 0xFFFFFFFF),
+        n=n, inc=base.inc))
+    expected = np.asarray(pcg32_uniforms_at(
+        jnp.uint32(base.state >> 32), jnp.uint32(base.state & 0xFFFFFFFF),
+        jnp.arange(n, dtype=jnp.uint32), inc=base.inc, nbits=10))
+    np.testing.assert_array_equal(got, expected)
