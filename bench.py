@@ -1,0 +1,101 @@
+"""Headline benchmark: 800x800 SPP=6 render + GuidanceNet denoise FPS.
+
+Protocol mirrors the reference measurement (BASELINE.md): warm-up frames,
+then mean frame time over N frames with the canonical options
+(spp=6, denoise=on, step_size=1e-4, sigma_thresh=1e-2, bg=1.0 --
+renderer/options/opt.json), RNG advanced 2^32 per frame.  Completion is
+forced per frame via a scalar checksum readback (block_until_ready is not
+a reliable barrier through the remote-TPU tunnel).
+
+Scene: no dataset ships in this environment, so the scene is a procedural
+PlenOctree (shell topology, depth 9, SH9 -- ~1M nodes, comparable to a
+NeRF-synthetic octree) built once and cached on disk.
+
+Prints ONE json line: {"metric", "value" (FPS), "unit", "vs_baseline"}
+where baseline is the 30 FPS target from BASELINE.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+BASELINE_FPS = 30.0
+DEPTH = int(os.environ.get("RT_BENCH_DEPTH", "9"))
+WARMUP = int(os.environ.get("RT_BENCH_WARMUP", "5"))
+FRAMES = int(os.environ.get("RT_BENCH_FRAMES", "20"))
+
+
+def get_tree():
+    from rt_octree_tpu.io import n3tree, synthetic
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"shell_d{DEPTH}_sh9.npz")
+    if os.path.exists(path):
+        return n3tree.load(path)
+    t0 = time.time()
+    tree = synthetic.make_synthetic_tree("shell", depth=DEPTH, basis_dim=9)
+    print(f"[bench] built synthetic tree: {tree.capacity} nodes, "
+          f"depth {tree.max_depth}, {time.time()-t0:.0f}s", file=sys.stderr)
+    synthetic.save_npz(tree, path)
+    return tree
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from rt_octree_tpu.core.camera import Camera
+    from rt_octree_tpu.core.options import RenderOptions
+    from rt_octree_tpu.models.guidance_net import (
+        GuidanceNetConfig, compact_params, init_params)
+    from rt_octree_tpu.ops.traversal import upload_tree
+    from rt_octree_tpu.render.renderer import Renderer
+
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    tree = get_tree()
+    dt = upload_tree(tree, lut_levels=min(8, tree.max_depth))
+
+    opt = RenderOptions(spp=6, denoise=True, step_size=1e-4,
+                        sigma_thresh=1e-2, background_brightness=1.0)
+    cam = Camera(width=800, height=800)  # canonical blender focal
+    r = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt)
+
+    # canonical GuidanceNet (in=8, mid=32, layers=2, branches=5, levels=4)
+    cfg = GuidanceNetConfig()
+    params = compact_params(cfg, init_params(cfg, jax.random.PRNGKey(0)))
+    r.set_denoiser(cfg, params)
+
+    checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
+
+    def frame():
+        img, aux = r.render(cam.transform)
+        float(checksum(img))
+        r.advance_rng()
+
+    t0 = time.time()
+    frame()
+    print(f"[bench] compile+first frame: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    for _ in range(WARMUP):
+        frame()
+
+    t0 = time.time()
+    for _ in range(FRAMES):
+        frame()
+    dt_frame = (time.time() - t0) / FRAMES
+    fps = 1.0 / dt_frame
+    print(f"[bench] {dt_frame*1000:.1f} ms/frame", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "fps_800x800_spp6_denoise_shell_d9",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,11 +43,17 @@ def build_tree(
     color_fn(pos[M,3], basis_dim) -> [M, 3*basis_dim] SH coefficients
     """
     res = N ** depth
-    # fine-grid occupancy from cell centers
-    g = (np.arange(res) + 0.5) / res
-    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
-    pos_fine = np.stack([X, Y, Z], -1).reshape(-1, 3)
-    occ_fine = (sigma_fn(pos_fine) > sigma_eps).reshape(res, res, res)
+    # fine-grid occupancy from cell centers (chunked, f32: the grid can be
+    # hundreds of millions of points at depth >= 9)
+    g = ((np.arange(res, dtype=np.float32) + 0.5) / res)
+    occ_fine = np.empty((res, res, res), bool)
+    chunk = max(1, (1 << 24) // (res * res))
+    for x0 in range(0, res, chunk):
+        xs = g[x0:x0 + chunk]
+        X, Y, Z = np.meshgrid(xs, g, g, indexing="ij")
+        pos = np.stack([X, Y, Z], -1).reshape(-1, 3)
+        occ_fine[x0:x0 + chunk] = (
+            sigma_fn(pos) > sigma_eps).reshape(len(xs), res, res)
     occ = _occupancy_pyramid(occ_fine, N, depth)
 
     # nodes: level l in [0, depth-1]; a cell is a node iff occupied
@@ -123,7 +129,8 @@ def build_tree(
 def shell_sigma(pos: np.ndarray, center=(0.5, 0.5, 0.5), radius=0.3,
                 thickness=0.05, amplitude=60.0) -> np.ndarray:
     """Spherical shell density: high sigma near |p-c| == radius."""
-    d = np.linalg.norm(pos - np.asarray(center), axis=-1)
+    p = pos.astype(np.float32) - np.asarray(center, np.float32)
+    d = np.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2 + p[..., 2] ** 2)
     return amplitude * np.exp(-((d - radius) / thickness) ** 2)
 
 

@@ -407,3 +407,57 @@ class Renderer:
 def _auto_chunks(height: int) -> int:
     """Row-chunk count heuristic: ~64-row chunks."""
     return max(1, height // 64)
+
+
+# ---------------------------------------------------------------------------
+# split-phase path (timer parity with render/torch/filter events)
+# ---------------------------------------------------------------------------
+
+_render_noisy_jit = functools.partial(jax.jit, static_argnames=(
+    "width", "height", "fx", "fy", "opt", "n_chunks", "max_steps",
+    "inc"))(_render_noisy)
+
+
+@functools.partial(jax.jit, static_argnames=("net_cfg",))
+def _net_forward_jit(aux, net_params, *, net_cfg: GuidanceNetConfig):
+    model = GuidanceNetCompact(net_cfg)
+    aux_nhwc = jnp.moveaxis(aux, 0, -1)[None]
+    weight, guidance = model.apply({"params": net_params}, aux_nhwc)
+    return weight[0], guidance[0]
+
+
+@jax.jit
+def _filter_jit(weight, guidance, noisy_img):
+    return guided_filter(weight, guidance, noisy_img)
+
+
+def render_timed(renderer: "Renderer", transform, timer) -> tuple:
+    """Split-phase render for the FPS/phase report (utils/timer.py).
+
+    Phase semantics mirror render_context.hpp: T_RENDER around the
+    traversal+aux, T_NET around the GuidanceNet forward, T_FILTER around
+    the guided filtering."""
+    from ..utils.timer import T_FILTER, T_NET, T_RENDER, sync
+
+    opt = renderer.options
+    denoise = opt.denoise and renderer.net_cfg is not None
+    with timer.phase(T_RENDER):
+        img, aux = _render_noisy_jit(
+            renderer.tree, jnp.asarray(transform, jnp.float32),
+            jnp.uint32(renderer.rng.state >> 32),
+            jnp.uint32(renderer.rng.state & 0xFFFFFFFF),
+            width=renderer.width, height=renderer.height, fx=renderer.fx,
+            fy=renderer.fy, opt=FrozenOptions.from_options(opt),
+            n_chunks=renderer.n_chunks, max_steps=renderer.max_steps,
+            inc=renderer.rng.inc)
+        sync(aux)
+    if denoise:
+        with timer.phase(T_NET):
+            weight, guidance = _net_forward_jit(
+                aux, renderer.net_params, net_cfg=renderer.net_cfg)
+            sync(weight)
+        with timer.phase(T_FILTER):
+            img = _filter_jit(weight, guidance, img)
+            sync(img)
+    timer.frame_done()
+    return img, aux
