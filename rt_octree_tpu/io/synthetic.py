@@ -128,10 +128,13 @@ def build_tree(
 
 def shell_sigma(pos: np.ndarray, center=(0.5, 0.5, 0.5), radius=0.3,
                 thickness=0.05, amplitude=60.0) -> np.ndarray:
-    """Spherical shell density: high sigma near |p-c| == radius."""
+    """Spherical shell density: high sigma near |p-c| == radius.  The
+    quartic falloff keeps occupancy a few voxel layers thick (real
+    PlenOctrees are surface-sparse; a soft gaussian at high resolution
+    would occupy tens of millions of voxels)."""
     p = pos.astype(np.float32) - np.asarray(center, np.float32)
     d = np.sqrt(p[..., 0] ** 2 + p[..., 1] ** 2 + p[..., 2] ** 2)
-    return amplitude * np.exp(-((d - radius) / thickness) ** 2)
+    return amplitude * np.exp(-((d - radius) / thickness) ** 4)
 
 
 def blob_sigma(pos: np.ndarray, seed: int = 0, n_blobs: int = 24,
@@ -166,11 +169,17 @@ def position_color(pos: np.ndarray, basis_dim: int) -> np.ndarray:
 def make_synthetic_tree(kind: str = "shell", depth: int = 7,
                         basis_dim: int = 9) -> N3Tree:
     if kind == "shell":
-        return build_tree(shell_sigma, position_color, depth=depth,
-                          basis_dim=basis_dim)
+        res = 2 ** depth
+        thickness = max(3.0 / res, 0.02)
+        amplitude = 4.0 / thickness  # shell optical depth ~4 (mostly opaque)
+        return build_tree(
+            lambda p: shell_sigma(p, thickness=thickness,
+                                  amplitude=amplitude),
+            position_color, depth=depth, basis_dim=basis_dim,
+            sigma_eps=1e-2)
     if kind == "blobs":
         return build_tree(blob_sigma, position_color, depth=depth,
-                          basis_dim=basis_dim)
+                          basis_dim=basis_dim, sigma_eps=1e-2)
     raise ValueError(kind)
 
 
