@@ -134,6 +134,14 @@ def _decode_quantized(npz: dict, N3: int, data_dim: int) -> tuple[np.ndarray, in
     n_retain = 0 if retained is None else retained.shape[0]
     n_basis = n_q + n_retain
 
+    from ..native import api as native
+    ret = (None if retained is None
+           else np.asarray(retained).reshape(n_retain, n_child, 3))
+    fast = native.decode_quant(quant_colors.reshape(n_q, -1, 3), quant_map,
+                               sigma, ret, data_dim)
+    if fast is not None:
+        return fast, capacity
+
     data = np.zeros((n_child, data_dim), np.float16)
     qc = quant_colors.reshape(n_q, -1, 3)
     for j in range(n_q):
@@ -151,7 +159,11 @@ def _decode_quantized(npz: dict, N3: int, data_dim: int) -> tuple[np.ndarray, in
 
 def compute_max_depth(child: np.ndarray, N3: int) -> int:
     """Maximum descent iterations a query needs (deepest leaf level),
-    via vectorized BFS over node links.  A root-only tree returns 1."""
+    via BFS over node links.  A root-only tree returns 1."""
+    from ..native import api as native
+    d = native.tree_max_depth(child, N3)
+    if d is not None:
+        return d
     child_nodes = child.reshape(-1, N3)
     depth = 1
     frontier = np.array([0], np.int64)
@@ -196,8 +208,12 @@ def load(path: str | os.PathLike) -> N3Tree:
     """Load a PlenOctree npz (plus optional `<name>_poses_bounds.npy` NDC
     sidecar, n3tree.cpp:121-148)."""
     path = os.fspath(path)
-    with np.load(path, allow_pickle=False) as f:
-        npz = {k: f[k] for k in f.files}
+    try:
+        from .npz_fast import load_npz_fast
+        npz = load_npz_fast(path)
+    except Exception:
+        with np.load(path, allow_pickle=False) as f:
+            npz = {k: f[k] for k in f.files}
     tree = from_npz_dict(npz)
     tree.npz_path = path
 
@@ -269,11 +285,17 @@ class JumpLut:
 
 
 def build_jump_lut(tree: N3Tree, levels: int = 7) -> JumpLut:
-    """Vectorized host-side build: descend every cell center ``levels``
-    levels through the child links."""
+    """Host-side build: descend every cell of the res^3 grid through the
+    child links (native C++ when available, vectorized NumPy otherwise)."""
     N = tree.N
     levels = min(levels, max(tree.max_depth, 1))
     res = N ** levels
+
+    from ..native import api as native
+    fast = native.build_jump_lut(tree.child, N, levels)
+    if fast is not None:
+        ptr, depth = fast
+        return JumpLut(ptr=ptr, depth=depth, levels=levels, res=res)
     n_cells = res ** 3
     child = tree.child.reshape(-1)
     N3 = tree.N3
