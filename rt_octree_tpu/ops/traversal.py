@@ -35,10 +35,15 @@ class DeviceTree:
     data: jax.Array  # [M, data_dim] f16
     child: jax.Array  # [M] i32
     sigma: jax.Array  # [M] f16 (compact copy of data[:, -1])
+    # fused march rows: one 8-byte gather yields (link, sigma) --
+    # chs[:, 0] = child skip, chs[:, 1] = f32 sigma bits
+    chs: jax.Array  # [M, 2] i32
     offset: jax.Array  # [3] f32
     scale: jax.Array  # [3] f32
     extra: jax.Array  # [E] f32 (SG/ASG) or [0]
-    lut: jax.Array  # [res^3] i32 packed (depth<<27 | ptr), or [0]
+    # lut[:, 0] = packed (depth<<27 | ptr); lut[:, 1] = f32 sigma bits of
+    # the shallow leaf (0 when the cell is still internal at lut_levels)
+    lut: jax.Array  # [res^3, 2] i32, or [0, 2]
 
     N: int = flax.struct.field(pytree_node=False)
     data_dim: int = flax.struct.field(pytree_node=False)
@@ -66,13 +71,19 @@ def pack_lut(lut: JumpLut) -> Optional[np.ndarray]:
 def upload_tree(tree: N3Tree, lut_levels: int = 7,
                 device=None) -> DeviceTree:
     """Host tree -> device arrays.  ``lut_levels=0`` disables the LUT."""
-    lut_arr = np.zeros(0, np.int32)
+    sigma_np = np.ascontiguousarray(tree.data[:, tree.data_dim - 1])
+    sigma_bits = sigma_np.astype(np.float32).view(np.int32)
+    chs = np.stack([tree.child, sigma_bits], axis=-1)  # [M, 2] i32
+
+    lut_arr = np.zeros((0, 2), np.int32)
     eff_levels = 0
     if lut_levels > 0 and tree.max_depth > 0:
         lut = build_jump_lut(tree, lut_levels)
         packed = pack_lut(lut)
         if packed is not None:
-            lut_arr = packed
+            shallow = lut.depth != JumpLut.SENTINEL
+            lut_sigma = np.where(shallow, sigma_bits[lut.ptr], 0)
+            lut_arr = np.stack([packed, lut_sigma], axis=-1)
             eff_levels = lut.levels
 
     extra = tree.extra if tree.extra is not None else np.zeros(0, np.float32)
@@ -85,7 +96,8 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
     return DeviceTree(
         data=put(tree.data),
         child=put(tree.child),
-        sigma=put(np.ascontiguousarray(tree.data[:, tree.data_dim - 1])),
+        sigma=put(sigma_np),
+        chs=put(chs),
         offset=put(tree.offset),
         scale=put(tree.scale),
         extra=put(np.asarray(extra, np.float32)),
@@ -100,14 +112,16 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
     )
 
 
-def tree_query(tree: DeviceTree, pos: jnp.ndarray, active=None):
+def tree_query_full(tree: DeviceTree, pos: jnp.ndarray, active=None):
     """Vectorized root-to-leaf query.
 
     pos: [R, 3] tree-space coordinates in [0, 1].
-    Returns (sub_ptr [R] i32, cube_sz [R] f32, local [R,3] f32) where
-    ``local`` is the position inside the leaf cube in [0,1) -- the same
-    in-place-mutated xyz the reference query leaves behind
-    (n3tree_query.hpp:29-33), which rt_core.cuh:249 feeds to _dda_unit.
+    Returns (sub_ptr [R] i32, cube_sz [R] f32, local [R,3] f32,
+    sigma [R] f32) where ``local`` is the position inside the leaf cube in
+    [0,1) -- the same in-place-mutated xyz the reference query leaves
+    behind (n3tree_query.hpp:29-33), which rt_core.cuh:249 feeds to
+    _dda_unit.  Sigma rides along from the fused (child, sigma) rows so
+    the march needs no extra gather.
     """
     N = tree.N
     fN = float(N)
@@ -124,7 +138,9 @@ def tree_query(tree: DeviceTree, pos: jnp.ndarray, active=None):
         cell = jnp.clip(cell, 0, res - 1)
         flat = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
         flat = jnp.where(active, flat, 0)
-        e = jnp.take(tree.lut, flat, axis=0)
+        row = jnp.take(tree.lut, flat, axis=0)  # [R, 2]
+        e = row[:, 0]
+        sigma_bits = row[:, 1]
         depth = (e >> LUT_PTR_BITS) & LUT_DEPTH_SENTINEL
         ptr_e = e & ((1 << LUT_PTR_BITS) - 1)
         shallow = depth < LUT_DEPTH_SENTINEL
@@ -147,6 +163,7 @@ def tree_query(tree: DeviceTree, pos: jnp.ndarray, active=None):
         xyz = pos
         cur_cube = jnp.full((R,), fN, jnp.float32)
         start_level = 0
+        sigma_bits = jnp.zeros(R, jnp.int32)
 
     for _ in range(tree.max_depth - start_level):
         xyzN = xyz * fN
@@ -154,10 +171,12 @@ def tree_query(tree: DeviceTree, pos: jnp.ndarray, active=None):
         index = ((digit[:, 0] * fN + digit[:, 1]) * fN +
                  digit[:, 2]).astype(jnp.int32)
         sub = node_ptr * N3 + index
-        skip = jnp.take(tree.child, jnp.where(done | ~active, 0, sub), axis=0)
+        row = jnp.take(tree.chs, jnp.where(done | ~active, 0, sub), axis=0)
+        skip = row[:, 0]
         is_leaf = (skip == 0) & ~done
         sub_ptr = jnp.where(is_leaf, sub, sub_ptr)
         cube = jnp.where(is_leaf, cur_cube, cube)
+        sigma_bits = jnp.where(is_leaf, row[:, 1], sigma_bits)
         done = done | is_leaf
         node_ptr = jnp.where(done, node_ptr, node_ptr + skip)
         xyz = xyzN - digit
@@ -166,4 +185,11 @@ def tree_query(tree: DeviceTree, pos: jnp.ndarray, active=None):
     # leaf-local coordinates: frac(pos * cube) (exact for N=2)
     local = pos * cube[:, None]
     local = local - jnp.floor(local)
+    sigma = jax.lax.bitcast_convert_type(sigma_bits, jnp.float32)
+    return sub_ptr, cube, local, sigma
+
+
+def tree_query(tree: DeviceTree, pos: jnp.ndarray, active=None):
+    """Query without sigma (see tree_query_full)."""
+    sub_ptr, cube, local, _ = tree_query_full(tree, pos, active)
     return sub_ptr, cube, local

@@ -30,7 +30,7 @@ from ..io.n3tree import BasisFormat
 from ..models.guidance_net import GuidanceNetCompact, GuidanceNetConfig
 from ..ops.filtering import guided_filter
 from ..ops.sh import eval_asg_basis, eval_sg_basis, eval_sh_basis
-from ..ops.traversal import DeviceTree, tree_query
+from ..ops.traversal import DeviceTree, tree_query_full
 from ..utils.rng import Pcg32, pcg32_uniforms_range
 
 FLT_MAX = float(np.finfo(np.float32).max)
@@ -182,11 +182,10 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
     def body(state):
         (step, active, t, src, sppc, shn, leafs, cnts) = state
         pos = cen_t + t[:, None] * d_t
-        sub_ptr, cube, local = tree_query(tree, pos, active=active)
+        sub_ptr, cube, local, sigma = tree_query_full(tree, pos,
+                                                      active=active)
         t_sub = _dda_unit(local, invdir) / cube
         delta_t = t_sub + step_size
-        sigma = jnp.take(tree.sigma, jnp.where(active, sub_ptr, 0),
-                         axis=0).astype(jnp.float32)
         has_sigma = (sigma > sigma_thresh) & active
         delta = jnp.where(has_sigma, delta_t * delta_scale * sigma, 0.0)
         s_new = src + delta

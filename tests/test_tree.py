@@ -116,3 +116,14 @@ def test_jump_lut_consistency(tree):
             assert float(tree.N) ** d == cube
         else:
             assert cube > tree.N ** lut.levels
+
+
+@pytest.mark.parametrize("lut_levels", [0, 3])
+def test_query_full_sigma(tree, lut_levels, np_rng):
+    from rt_octree_tpu.ops.traversal import tree_query_full
+    dt = upload_tree(tree, lut_levels=lut_levels)
+    pos = np_rng.random((256, 3)).astype(np.float32)
+    sub, cube, local, sigma = map(
+        np.asarray, tree_query_full(dt, jnp.asarray(pos)))
+    expected = tree.data[sub, tree.data_dim - 1].astype(np.float32)
+    np.testing.assert_array_equal(sigma, expected)
