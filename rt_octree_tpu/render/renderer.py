@@ -145,8 +145,58 @@ def _dda_unit(local, invdir):
     return jnp.minimum(1e4, jnp.maximum(t1, t2).min(-1))
 
 
+def _march_body(tree: DeviceTree, opt, spp: int, consts, state):
+    """One leaf step for every ray in the bundle.
+
+    consts: (cen_t, d_t, invdir, delta_scale, dst, tmax) per-ray constants
+    state:  (active, t, src, sppc, shn, leafs, cnts)
+    """
+    (cen_t, d_t, invdir, delta_scale, dst, tmax) = consts
+    (active, t, src, sppc, shn, leafs, cnts) = state
+    sigma_thresh = jnp.float32(opt.sigma_thresh)
+    step_size = jnp.float32(opt.step_size)
+    iota_spp = jnp.arange(spp, dtype=jnp.int32)
+
+    pos = cen_t + t[:, None] * d_t
+    sub_ptr, cube, local, sigma = tree_query_full(tree, pos, active=active)
+    t_sub = _dda_unit(local, invdir) / cube
+    delta_t = t_sub + step_size
+    has_sigma = (sigma > sigma_thresh) & active
+    delta = jnp.where(has_sigma, delta_t * delta_scale * sigma, 0.0)
+    s_new = src + delta
+
+    # threshold crossings: #{i : dst[i] <= s_new} - sppc  (dst sorted)
+    n_leq = jnp.sum((dst <= s_new[:, None]).astype(jnp.int32), axis=1)
+    c = jnp.maximum(n_leq - sppc, 0)
+    rec = has_sigma & (c > 0)
+    slot = (iota_spp[None, :] == shn[:, None]) & rec[:, None]
+    leafs = jnp.where(slot, sub_ptr[:, None], leafs)
+    cnts = jnp.where(slot, c[:, None].astype(jnp.float32), cnts)
+    shn = shn + rec.astype(jnp.int32)
+    sppc = sppc + jnp.where(rec, c, 0)
+
+    src = jnp.where(has_sigma, s_new, src)
+    t = jnp.where(active, t + delta_t, t)
+    active = active & (t < tmax) & (sppc < spp)
+    return (active, t, src, sppc, shn, leafs, cnts)
+
+
+def _march_loop(tree, opt, spp, consts, state, steps: int):
+    def cond(sv):
+        step, st = sv
+        return (step < steps) & jnp.any(st[0])
+
+    def body(sv):
+        step, st = sv
+        return step + 1, _march_body(tree, opt, spp, consts, st)
+
+    _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    return out
+
+
 def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
-               tmax_bg=None, max_steps: int = 8192):
+               tmax_bg=None, max_steps: int = 8192,
+               phase1_steps: int = 16, compact_frac: int = 4):
     """Regular-tracking estimator over a ray batch.
 
     dirs/cens: [R,3] tree-space-ready rays -- world dirs and world origins
@@ -154,6 +204,14 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
     vdirs: [R,3] view dirs for basis evaluation (already rodrigues-rotated).
     dst: [R, SPP] *sorted* exponential thresholds.
     Returns out [R,4]: premultiplied rgb + alpha (pre-background).
+
+    Two-phase wavefront: phase 1 marches the full batch ``phase1_steps``
+    leaf steps (the typical ray terminates within ~16: SPP thresholds are
+    consumed quickly in occupied space, and the jump LUT makes empty space
+    one big step).  Survivors -- measured at <15% -- are compacted to
+    R/compact_frac lanes and marched to ``max_steps``.  If survivors ever
+    exceed the cap (pathological view), a lax.cond falls back to the
+    full-width continuation, preserving exactness.
     """
     spp = dst.shape[1]
     R = dirs.shape[0]
@@ -171,42 +229,8 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
     tmax = jnp.minimum(tmax, tmax_bg)
     hit = (tmax >= 0) & (tmin <= tmax)
 
-    sigma_thresh = jnp.float32(opt.sigma_thresh)
-    step_size = jnp.float32(opt.step_size)
-    iota_spp = jnp.arange(spp, dtype=jnp.int32)
-
-    def cond(state):
-        (step, active, *_rest) = state
-        return (step < max_steps) & jnp.any(active)
-
-    def body(state):
-        (step, active, t, src, sppc, shn, leafs, cnts) = state
-        pos = cen_t + t[:, None] * d_t
-        sub_ptr, cube, local, sigma = tree_query_full(tree, pos,
-                                                      active=active)
-        t_sub = _dda_unit(local, invdir) / cube
-        delta_t = t_sub + step_size
-        has_sigma = (sigma > sigma_thresh) & active
-        delta = jnp.where(has_sigma, delta_t * delta_scale * sigma, 0.0)
-        s_new = src + delta
-
-        # threshold crossings: #{i : dst[i] <= s_new} - sppc  (dst sorted)
-        n_leq = jnp.sum((dst <= s_new[:, None]).astype(jnp.int32), axis=1)
-        c = jnp.maximum(n_leq - sppc, 0)
-        rec = has_sigma & (c > 0)
-        slot = (iota_spp[None, :] == shn[:, None]) & rec[:, None]
-        leafs = jnp.where(slot, sub_ptr[:, None], leafs)
-        cnts = jnp.where(slot, c[:, None].astype(jnp.float32), cnts)
-        shn = shn + rec.astype(jnp.int32)
-        sppc = sppc + jnp.where(rec, c, 0)
-
-        src = jnp.where(has_sigma, s_new, src)
-        t = jnp.where(active, t + delta_t, t)
-        active = active & (t < tmax) & (sppc < spp)
-        return (step + 1, active, t, src, sppc, shn, leafs, cnts)
-
-    init = (
-        jnp.int32(0),
+    consts = (cen_t, d_t, invdir, delta_scale, dst, tmax)
+    state = (
         hit,
         tmin,
         jnp.zeros(R, jnp.float32),
@@ -215,11 +239,43 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
         jnp.zeros((R, spp), jnp.int32),
         jnp.zeros((R, spp), jnp.float32),
     )
-    (_, _, _, _, _, shn, leafs, cnts) = jax.lax.while_loop(cond, body, init)
+
+    cap = max(R // compact_frac, 1)
+    if compact_frac <= 1 or cap >= R:
+        state = _march_loop(tree, opt, spp, consts, state, max_steps)
+        (_, _, _, _, _, leafs, cnts) = state
+        return _shade(tree, vdirs, leafs, cnts, opt, spp)
+
+    state = _march_loop(tree, opt, spp, consts, state, phase1_steps)
+    active = state[0]
+    n_active = jnp.sum(active.astype(jnp.int32))
+
+    def compacted(_):
+        idx = jnp.nonzero(active, size=cap, fill_value=R)[0]
+        valid = idx < R
+
+        def take(x):
+            return jnp.take(x, idx, axis=0, mode="fill", fill_value=0)
+
+        c_consts = jax.tree.map(take, consts)
+        c_state = jax.tree.map(take, state)
+        c_state = (c_state[0] & valid,) + c_state[1:]
+        c_state = _march_loop(tree, opt, spp, c_consts, c_state,
+                              max_steps - phase1_steps)
+        (_, _, _, _, _, c_leafs, c_cnts) = c_state
+        leafs = state[5].at[idx].set(c_leafs, mode="drop")
+        cnts = state[6].at[idx].set(c_cnts, mode="drop")
+        return leafs, cnts
+
+    def full(_):
+        st = _march_loop(tree, opt, spp, consts, state,
+                         max_steps - phase1_steps)
+        return st[5], st[6]
+
+    leafs, cnts = jax.lax.cond(n_active <= cap, compacted, full, None)
 
     # ---- color accumulation (rt_core.cuh:272-332) ----
-    out = _shade(tree, vdirs, leafs, cnts, opt, spp)
-    return out
+    return _shade(tree, vdirs, leafs, cnts, opt, spp)
 
 
 def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
@@ -273,7 +329,7 @@ def make_sorted_dst(uniforms: jnp.ndarray) -> jnp.ndarray:
 def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
                   width: int, height: int, fx: float, fy: float,
                   opt: FrozenOptions, n_chunks: int, max_steps: int,
-                  inc: int):
+                  inc: int, phase1_steps: int = 16, compact_frac: int = 4):
     """Trace + composite + aux assembly (the reference render_kernel)."""
     R = width * height
     spp = opt.spp
@@ -289,7 +345,9 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
 
     def render_chunk(args):
         cd, cv, cc, cdst = args
-        return trace_rays(tree, cd, cv, cc, cdst, opt, max_steps=max_steps)
+        return trace_rays(tree, cd, cv, cc, cdst, opt, max_steps=max_steps,
+                          phase1_steps=phase1_steps,
+                          compact_frac=compact_frac)
 
     if n_chunks > 1:
         args = (
@@ -329,16 +387,18 @@ def _denoise(aux, noisy_img, net_params, net_cfg: GuidanceNetConfig):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "fx", "fy", "opt",
-                     "n_chunks", "max_steps", "inc", "net_cfg"))
+                     "n_chunks", "max_steps", "inc", "net_cfg",
+                     "phase1_steps", "compact_frac"))
 def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo,
                        net_params, *, width: int, height: int, fx: float,
                        fy: float, opt: FrozenOptions, n_chunks: int,
                        max_steps: int, inc: int,
-                       net_cfg: Optional[GuidanceNetConfig]):
+                       net_cfg: Optional[GuidanceNetConfig],
+                       phase1_steps: int = 16, compact_frac: int = 4):
     img, aux = _render_noisy(
         tree, transform, state_hi, state_lo, width=width, height=height,
         fx=fx, fy=fy, opt=opt, n_chunks=n_chunks, max_steps=max_steps,
-        inc=inc)
+        inc=inc, phase1_steps=phase1_steps, compact_frac=compact_frac)
     if opt.denoise and net_cfg is not None:
         img = _denoise(aux, img, net_params, net_cfg)
     return img, aux
@@ -354,7 +414,8 @@ class Renderer:
 
     def __init__(self, tree: DeviceTree, width: int, height: int, fx: float,
                  fy: float, options: Optional[RenderOptions] = None,
-                 n_chunks: int = 0, max_steps: int = 8192, seed: int = 20230418):
+                 n_chunks: int = 0, max_steps: int = 8192, seed: int = 20230418,
+                 phase1_steps: int = 16, compact_frac: int = 4):
         self.tree = tree
         self.width = width
         self.height = height
@@ -368,6 +429,8 @@ class Renderer:
             n_chunks -= 1
         self.n_chunks = n_chunks
         self.max_steps = max_steps
+        self.phase1_steps = phase1_steps
+        self.compact_frac = compact_frac
         self.rng = Pcg32(seed)
         self.net_cfg: Optional[GuidanceNetConfig] = None
         self.net_params = None
@@ -400,7 +463,8 @@ class Renderer:
             width=self.width, height=self.height, fx=self.fx, fy=self.fy,
             opt=FrozenOptions.from_options(opt),
             n_chunks=self.n_chunks, max_steps=self.max_steps,
-            inc=self.rng.inc, net_cfg=self.net_cfg if denoise else None)
+            inc=self.rng.inc, net_cfg=self.net_cfg if denoise else None,
+            phase1_steps=self.phase1_steps, compact_frac=self.compact_frac)
 
 
 def _auto_chunks(height: int) -> int:
@@ -414,7 +478,7 @@ def _auto_chunks(height: int) -> int:
 
 _render_noisy_jit = functools.partial(jax.jit, static_argnames=(
     "width", "height", "fx", "fy", "opt", "n_chunks", "max_steps",
-    "inc"))(_render_noisy)
+    "inc", "phase1_steps", "compact_frac"))(_render_noisy)
 
 
 @functools.partial(jax.jit, static_argnames=("net_cfg",))
@@ -448,7 +512,8 @@ def render_timed(renderer: "Renderer", transform, timer) -> tuple:
             width=renderer.width, height=renderer.height, fx=renderer.fx,
             fy=renderer.fy, opt=FrozenOptions.from_options(opt),
             n_chunks=renderer.n_chunks, max_steps=renderer.max_steps,
-            inc=renderer.rng.inc)
+            inc=renderer.rng.inc, phase1_steps=renderer.phase1_steps,
+            compact_frac=renderer.compact_frac)
         sync(aux)
     if denoise:
         with timer.phase(T_NET):

@@ -100,3 +100,18 @@ def test_render_with_denoiser(tree):
     np.testing.assert_allclose(img[..., 3], 1.0)
     # aux carries the *noisy* image, not the filtered one
     assert not np.allclose(img[..., 0], aux[0])
+
+
+@pytest.mark.parametrize("compact_frac,phase1", [(4, 4), (256, 2)])
+def test_compaction_paths_match_oracle(tree, compact_frac, phase1):
+    """Exactness through compaction and through the overflow fallback
+    (compact_frac=256 forces a tiny cap -> full-width fallback)."""
+    cam = make_camera(16, 16)
+    opt = RenderOptions(spp=2, denoise=False)
+    dt = upload_tree(tree, lut_levels=3)
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt,
+                 n_chunks=1, phase1_steps=phase1, compact_frac=compact_frac)
+    img, aux = r.render(cam.transform)
+    rng = Pcg32(20230418)
+    img_ref, aux_ref = render_frame_oracle(tree, cam, opt, rng)
+    np.testing.assert_allclose(np.asarray(img), img_ref, atol=2e-5)
