@@ -247,6 +247,17 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
         return _shade(tree, vdirs, leafs, cnts, opt, spp)
 
     state = _march_loop(tree, opt, spp, consts, state, phase1_steps)
+    leafs, cnts = _compact_continue(tree, opt, spp, consts, state, cap,
+                                    max_steps - phase1_steps)
+
+    # ---- color accumulation (rt_core.cuh:272-332) ----
+    return _shade(tree, vdirs, leafs, cnts, opt, spp)
+
+
+def _compact_continue(tree, opt, spp, consts, state, cap, steps):
+    """Gather surviving rays into ``cap`` lanes, finish the march there,
+    scatter results back.  Falls back to full width if survivors > cap."""
+    R = state[0].shape[0]
     active = state[0]
     n_active = jnp.sum(active.astype(jnp.int32))
 
@@ -260,22 +271,27 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
         c_consts = jax.tree.map(take, consts)
         c_state = jax.tree.map(take, state)
         c_state = (c_state[0] & valid,) + c_state[1:]
-        c_state = _march_loop(tree, opt, spp, c_consts, c_state,
-                              max_steps - phase1_steps)
-        (_, _, _, _, _, c_leafs, c_cnts) = c_state
+        # second-stage compaction: once the narrow batch has drained
+        # further, shrink again (tail rays run hundreds of leaf steps)
+        mid = min(64, steps)
+        c_state = _march_loop(tree, opt, spp, c_consts, c_state, mid)
+        if steps > mid and cap > 4096:
+            c_leafs, c_cnts = _compact_continue(
+                tree, opt, spp, c_consts, c_state, max(cap // 8, 4096),
+                steps - mid)
+        else:
+            c_state = _march_loop(tree, opt, spp, c_consts, c_state,
+                                  steps - mid)
+            c_leafs, c_cnts = c_state[5], c_state[6]
         leafs = state[5].at[idx].set(c_leafs, mode="drop")
         cnts = state[6].at[idx].set(c_cnts, mode="drop")
         return leafs, cnts
 
     def full(_):
-        st = _march_loop(tree, opt, spp, consts, state,
-                         max_steps - phase1_steps)
+        st = _march_loop(tree, opt, spp, consts, state, steps)
         return st[5], st[6]
 
-    leafs, cnts = jax.lax.cond(n_active <= cap, compacted, full, None)
-
-    # ---- color accumulation (rt_core.cuh:272-332) ----
-    return _shade(tree, vdirs, leafs, cnts, opt, spp)
+    return jax.lax.cond(n_active <= cap, compacted, full, None)
 
 
 def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
