@@ -46,6 +46,9 @@ def get_tree():
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE, "xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     import jax.numpy as jnp
     from rt_octree_tpu.core.camera import Camera
     from rt_octree_tpu.core.options import RenderOptions
@@ -56,7 +59,10 @@ def main():
 
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
     tree = get_tree()
-    dt = upload_tree(tree, lut_levels=min(8, tree.max_depth))
+    # full-depth LUT => the march needs ONE 8-byte gather per leaf step
+    # (ptr+depth+sigma in a single row); ~1GB HBM at depth 9
+    lut_levels = int(os.environ.get("RT_BENCH_LUT", "9"))
+    dt = upload_tree(tree, lut_levels=min(lut_levels, tree.max_depth))
 
     opt = RenderOptions(spp=6, denoise=True, step_size=1e-4,
                         sigma_thresh=1e-2, background_brightness=1.0)

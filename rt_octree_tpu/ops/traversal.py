@@ -11,6 +11,7 @@ space) finish in one lookup.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import flax.struct
@@ -68,8 +69,53 @@ def pack_lut(lut: JumpLut) -> Optional[np.ndarray]:
     return ((depth << LUT_PTR_BITS) | lut.ptr.astype(np.int32)).astype(np.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("N", "N3", "levels",
+                                              "n_chunks"))
+def _device_lut_build(chs, *, N: int, N3: int, levels: int, n_chunks: int):
+    """Build the packed jump LUT on device: a vectorized descent per cell
+    of the res^3 grid.  Avoids uploading a GB-scale host-built LUT over
+    slow host->device links (the chs table it derives from is ~10x
+    smaller)."""
+    res = N ** levels
+    n_cells = res ** 3
+    fN = float(N)
+
+    def build_chunk(cell0):
+        idx = cell0 + jnp.arange(n_cells // n_chunks, dtype=jnp.int32)
+        z = idx % res
+        y = (idx // res) % res
+        x = idx // (res * res)
+        node = jnp.zeros_like(idx)
+        out_ptr = jnp.zeros_like(idx)
+        out_depth = jnp.full_like(idx, LUT_DEPTH_SENTINEL)
+        sig = jnp.zeros_like(idx)
+        done = jnp.zeros(idx.shape, bool)
+        for lev in range(levels):
+            div = N ** (levels - 1 - lev)
+            cx = (x // div) % N
+            cy = (y // div) % N
+            cz = (z // div) % N
+            ci = (cx * N + cy) * N + cz
+            sub = node * N3 + ci
+            row = jnp.take(chs, jnp.where(done, 0, sub), axis=0)
+            skip = row[:, 0]
+            is_leaf = (skip == 0) & ~done
+            out_ptr = jnp.where(is_leaf, sub, out_ptr)
+            out_depth = jnp.where(is_leaf, lev + 1, out_depth)
+            sig = jnp.where(is_leaf, row[:, 1], sig)
+            done = done | is_leaf
+            node = jnp.where(done, node, node + skip)
+        out_ptr = jnp.where(done, out_ptr, node)
+        packed = (out_depth << LUT_PTR_BITS) | out_ptr
+        return jnp.stack([packed, sig], axis=-1)
+
+    cell0s = jnp.arange(n_chunks, dtype=jnp.int32) * (n_cells // n_chunks)
+    out = jax.lax.map(build_chunk, cell0s)
+    return out.reshape(n_cells, 2)
+
+
 def upload_tree(tree: N3Tree, lut_levels: int = 7,
-                device=None) -> DeviceTree:
+                device=None, lut_on_device: bool = True) -> DeviceTree:
     """Host tree -> device arrays.  ``lut_levels=0`` disables the LUT."""
     sigma_np = np.ascontiguousarray(tree.data[:, tree.data_dim - 1])
     sigma_bits = sigma_np.astype(np.float32).view(np.int32)
@@ -77,14 +123,22 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
 
     lut_arr = np.zeros((0, 2), np.int32)
     eff_levels = 0
+    device_lut = None
     if lut_levels > 0 and tree.max_depth > 0:
-        lut = build_jump_lut(tree, lut_levels)
-        packed = pack_lut(lut)
-        if packed is not None:
-            shallow = lut.depth != JumpLut.SENTINEL
-            lut_sigma = np.where(shallow, sigma_bits[lut.ptr], 0)
-            lut_arr = np.stack([packed, lut_sigma], axis=-1)
-            eff_levels = lut.levels
+        lut_levels = min(lut_levels, tree.max_depth)
+        max_ptr = max(tree.child.shape[0], 1)
+        if max_ptr < (1 << LUT_PTR_BITS):
+            if lut_on_device:
+                device_lut = True
+                eff_levels = lut_levels
+            else:
+                lut = build_jump_lut(tree, lut_levels)
+                packed = pack_lut(lut)
+                if packed is not None:
+                    shallow = lut.depth != JumpLut.SENTINEL
+                    lut_sigma = np.where(shallow, sigma_bits[lut.ptr], 0)
+                    lut_arr = np.stack([packed, lut_sigma], axis=-1)
+                    eff_levels = lut.levels
 
     extra = tree.extra if tree.extra is not None else np.zeros(0, np.float32)
     ndc = None
@@ -93,15 +147,26 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
                float(tree.ndc_focal))
 
     put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+    chs_dev = put(chs)
+    if device_lut:
+        N3 = tree.N3
+        n_cells = (tree.N ** eff_levels) ** 3
+        n_chunks = 1
+        while n_cells // n_chunks > (1 << 24):
+            n_chunks *= 2
+        lut_dev = _device_lut_build(chs_dev, N=tree.N, N3=N3,
+                                    levels=eff_levels, n_chunks=n_chunks)
+    else:
+        lut_dev = put(lut_arr)
     return DeviceTree(
         data=put(tree.data),
         child=put(tree.child),
         sigma=put(sigma_np),
-        chs=put(chs),
+        chs=chs_dev,
         offset=put(tree.offset),
         scale=put(tree.scale),
         extra=put(np.asarray(extra, np.float32)),
-        lut=put(lut_arr),
+        lut=lut_dev,
         N=tree.N,
         data_dim=tree.data_dim,
         basis_dim=tree.data_format.basis_dim,

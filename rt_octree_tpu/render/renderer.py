@@ -181,14 +181,22 @@ def _march_body(tree: DeviceTree, opt, spp: int, consts, state):
     return (active, t, src, sppc, shn, leafs, cnts)
 
 
-def _march_loop(tree, opt, spp, consts, state, steps: int):
+def _march_loop(tree, opt, spp, consts, state, steps: int,
+                unroll: int = 1):
+    """While-march with optional K-step unrolling (fewer cond evaluations
+    and loop round-trips; the tail phases are latency-bound per round)."""
+    if steps <= 0:
+        return state
+
     def cond(sv):
         step, st = sv
         return (step < steps) & jnp.any(st[0])
 
     def body(sv):
         step, st = sv
-        return step + 1, _march_body(tree, opt, spp, consts, st)
+        for _ in range(unroll):
+            st = _march_body(tree, opt, spp, consts, st)
+        return step + unroll, st
 
     _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return out
@@ -275,13 +283,13 @@ def _compact_continue(tree, opt, spp, consts, state, cap, steps):
         # further, shrink again (tail rays run hundreds of leaf steps)
         mid = min(64, steps)
         c_state = _march_loop(tree, opt, spp, c_consts, c_state, mid)
-        if steps > mid and cap > 4096:
+        if steps > mid and cap > 16384:
             c_leafs, c_cnts = _compact_continue(
-                tree, opt, spp, c_consts, c_state, max(cap // 8, 4096),
+                tree, opt, spp, c_consts, c_state, max(cap // 8, 16384),
                 steps - mid)
         else:
             c_state = _march_loop(tree, opt, spp, c_consts, c_state,
-                                  steps - mid)
+                                  steps - mid, unroll=4)
             c_leafs, c_cnts = c_state[5], c_state[6]
         leafs = state[5].at[idx].set(c_leafs, mode="drop")
         cnts = state[6].at[idx].set(c_cnts, mode="drop")
