@@ -202,9 +202,19 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
     return out
 
 
+# Wavefront compaction schedule: (steps, width_divisor) stages.  Before
+# each stage the surviving rays are packed into R//divisor lanes (one
+# fused row gather); a stage with divisor 1 runs at full width.  The
+# divisors carry ~1.5x margin over measured survivor curves; overflow at
+# any stage falls back to finishing at the current width (exactness is
+# never traded).  The final stage runs to max_steps with 4x unrolling.
+DEFAULT_SCHEDULE = ((0, 1), (12, 2), (24, 5), (48, 16), (0, 48))
+
+
 def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
                tmax_bg=None, max_steps: int = 8192,
-               phase1_steps: int = 16, compact_frac: int = 4):
+               schedule=DEFAULT_SCHEDULE, phase1_steps=None,
+               compact_frac=None):
     """Regular-tracking estimator over a ray batch.
 
     dirs/cens: [R,3] tree-space-ready rays -- world dirs and world origins
@@ -213,14 +223,15 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
     dst: [R, SPP] *sorted* exponential thresholds.
     Returns out [R,4]: premultiplied rgb + alpha (pre-background).
 
-    Two-phase wavefront: phase 1 marches the full batch ``phase1_steps``
-    leaf steps (the typical ray terminates within ~16: SPP thresholds are
-    consumed quickly in occupied space, and the jump LUT makes empty space
-    one big step).  Survivors -- measured at <15% -- are compacted to
-    R/compact_frac lanes and marched to ``max_steps``.  If survivors ever
-    exceed the cap (pathological view), a lax.cond falls back to the
-    full-width continuation, preserving exactness.
+    The march is a compacting wavefront (see DEFAULT_SCHEDULE): the
+    typical ray terminates within ~16 leaf steps (SPP thresholds are
+    consumed quickly in occupied space; the jump LUT makes empty space one
+    big step), so lane width shrinks as rays die.
     """
+    if phase1_steps is not None and compact_frac is not None:
+        # legacy two-phase interface
+        schedule = (((phase1_steps, 1), (0, compact_frac))
+                    if compact_frac > 1 else ((max_steps, 1),))
     spp = dst.shape[1]
     R = dirs.shape[0]
 
@@ -248,55 +259,74 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
         jnp.zeros((R, spp), jnp.float32),
     )
 
-    cap = max(R // compact_frac, 1)
-    if compact_frac <= 1 or cap >= R:
-        state = _march_loop(tree, opt, spp, consts, state, max_steps)
-        (_, _, _, _, _, leafs, cnts) = state
-        return _shade(tree, vdirs, leafs, cnts, opt, spp)
-
-    state = _march_loop(tree, opt, spp, consts, state, phase1_steps)
-    leafs, cnts = _compact_continue(tree, opt, spp, consts, state, cap,
-                                    max_steps - phase1_steps)
+    leafs, cnts = _march_schedule(tree, opt, spp, consts, state,
+                                  tuple(schedule), max_steps)
 
     # ---- color accumulation (rt_core.cuh:272-332) ----
     return _shade(tree, vdirs, leafs, cnts, opt, spp)
 
 
-def _compact_continue(tree, opt, spp, consts, state, cap, steps):
-    """Gather surviving rays into ``cap`` lanes, finish the march there,
-    scatter results back.  Falls back to full width if survivors > cap."""
+def _pack_bundle(consts, state):
+    """Bundle per-ray consts+state into one [R, K] i32 row so a compaction
+    is a single gather."""
+    f32_parts = [consts[0], consts[1], consts[2], consts[3][:, None],
+                 consts[4], consts[5][:, None], state[1][:, None],
+                 state[2][:, None], state[6]]
+    i32_parts = [state[0][:, None].astype(jnp.int32), state[3][:, None],
+                 state[4][:, None], state[5]]
+    f32 = jnp.concatenate(f32_parts, axis=1)
+    i32 = jnp.concatenate(i32_parts, axis=1)
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(f32, jnp.int32), i32], axis=1)
+
+
+def _unpack_bundle(row, spp):
+    nf = 13 + 2 * spp
+    f32 = jax.lax.bitcast_convert_type(row[:, :nf], jnp.float32)
+    i32 = row[:, nf:]
+    consts = (f32[:, 0:3], f32[:, 3:6], f32[:, 6:9], f32[:, 9],
+              f32[:, 10:10 + spp], f32[:, 10 + spp])
+    state = (i32[:, 0].astype(bool), f32[:, 11 + spp], f32[:, 12 + spp],
+             i32[:, 1], i32[:, 2], i32[:, 3:3 + spp],
+             f32[:, 13 + spp:13 + 2 * spp])
+    return consts, state
+
+
+def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps):
+    """Run the compaction schedule; returns (leafs, cnts) at full width."""
+    (steps, frac), rest = schedule[0], schedule[1:]
     R = state[0].shape[0]
+    last = not rest
+    if last:
+        steps = max_steps
+    state = _march_loop(tree, opt, spp, consts, state, steps,
+                        unroll=4 if last else 1)
+    if last:
+        return state[5], state[6]
+
+    cap = max(int(R // rest[0][1]), 1)
+    if cap >= R:
+        return _march_schedule(tree, opt, spp, consts, state, rest,
+                               max_steps)
     active = state[0]
     n_active = jnp.sum(active.astype(jnp.int32))
 
     def compacted(_):
         idx = jnp.nonzero(active, size=cap, fill_value=R)[0]
         valid = idx < R
-
-        def take(x):
-            return jnp.take(x, idx, axis=0, mode="fill", fill_value=0)
-
-        c_consts = jax.tree.map(take, consts)
-        c_state = jax.tree.map(take, state)
+        row = jnp.take(_pack_bundle(consts, state), idx, axis=0,
+                       mode="fill", fill_value=0)
+        c_consts, c_state = _unpack_bundle(row, spp)
         c_state = (c_state[0] & valid,) + c_state[1:]
-        # second-stage compaction: once the narrow batch has drained
-        # further, shrink again (tail rays run hundreds of leaf steps)
-        mid = min(64, steps)
-        c_state = _march_loop(tree, opt, spp, c_consts, c_state, mid)
-        if steps > mid and cap > 16384:
-            c_leafs, c_cnts = _compact_continue(
-                tree, opt, spp, c_consts, c_state, max(cap // 8, 16384),
-                steps - mid)
-        else:
-            c_state = _march_loop(tree, opt, spp, c_consts, c_state,
-                                  steps - mid, unroll=4)
-            c_leafs, c_cnts = c_state[5], c_state[6]
+        c_leafs, c_cnts = _march_schedule(tree, opt, spp, c_consts,
+                                          c_state, rest, max_steps)
         leafs = state[5].at[idx].set(c_leafs, mode="drop")
         cnts = state[6].at[idx].set(c_cnts, mode="drop")
         return leafs, cnts
 
     def full(_):
-        st = _march_loop(tree, opt, spp, consts, state, steps)
+        st = _march_loop(tree, opt, spp, consts, state, max_steps,
+                         unroll=2)
         return st[5], st[6]
 
     return jax.lax.cond(n_active <= cap, compacted, full, None)
@@ -353,7 +383,7 @@ def make_sorted_dst(uniforms: jnp.ndarray) -> jnp.ndarray:
 def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
                   width: int, height: int, fx: float, fy: float,
                   opt: FrozenOptions, n_chunks: int, max_steps: int,
-                  inc: int, phase1_steps: int = 16, compact_frac: int = 4):
+                  inc: int, schedule=DEFAULT_SCHEDULE):
     """Trace + composite + aux assembly (the reference render_kernel)."""
     R = width * height
     spp = opt.spp
@@ -370,8 +400,7 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
     def render_chunk(args):
         cd, cv, cc, cdst = args
         return trace_rays(tree, cd, cv, cc, cdst, opt, max_steps=max_steps,
-                          phase1_steps=phase1_steps,
-                          compact_frac=compact_frac)
+                          schedule=schedule)
 
     if n_chunks > 1:
         args = (
@@ -412,17 +441,17 @@ def _denoise(aux, noisy_img, net_params, net_cfg: GuidanceNetConfig):
     jax.jit,
     static_argnames=("width", "height", "fx", "fy", "opt",
                      "n_chunks", "max_steps", "inc", "net_cfg",
-                     "phase1_steps", "compact_frac"))
+                     "schedule"))
 def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo,
                        net_params, *, width: int, height: int, fx: float,
                        fy: float, opt: FrozenOptions, n_chunks: int,
                        max_steps: int, inc: int,
                        net_cfg: Optional[GuidanceNetConfig],
-                       phase1_steps: int = 16, compact_frac: int = 4):
+                       schedule=DEFAULT_SCHEDULE):
     img, aux = _render_noisy(
         tree, transform, state_hi, state_lo, width=width, height=height,
         fx=fx, fy=fy, opt=opt, n_chunks=n_chunks, max_steps=max_steps,
-        inc=inc, phase1_steps=phase1_steps, compact_frac=compact_frac)
+        inc=inc, schedule=schedule)
     if opt.denoise and net_cfg is not None:
         img = _denoise(aux, img, net_params, net_cfg)
     return img, aux
@@ -439,7 +468,8 @@ class Renderer:
     def __init__(self, tree: DeviceTree, width: int, height: int, fx: float,
                  fy: float, options: Optional[RenderOptions] = None,
                  n_chunks: int = 0, max_steps: int = 8192, seed: int = 20230418,
-                 phase1_steps: int = 16, compact_frac: int = 4):
+                 schedule=DEFAULT_SCHEDULE, phase1_steps=None,
+                 compact_frac=None):
         self.tree = tree
         self.width = width
         self.height = height
@@ -453,8 +483,10 @@ class Renderer:
             n_chunks -= 1
         self.n_chunks = n_chunks
         self.max_steps = max_steps
-        self.phase1_steps = phase1_steps
-        self.compact_frac = compact_frac
+        if phase1_steps is not None and compact_frac is not None:
+            schedule = (((phase1_steps, 1), (0, compact_frac))
+                        if compact_frac > 1 else ((0, 1),))
+        self.schedule = tuple(tuple(x) for x in schedule)
         self.rng = Pcg32(seed)
         self.net_cfg: Optional[GuidanceNetConfig] = None
         self.net_params = None
@@ -488,7 +520,7 @@ class Renderer:
             opt=FrozenOptions.from_options(opt),
             n_chunks=self.n_chunks, max_steps=self.max_steps,
             inc=self.rng.inc, net_cfg=self.net_cfg if denoise else None,
-            phase1_steps=self.phase1_steps, compact_frac=self.compact_frac)
+            schedule=self.schedule)
 
 
 def _auto_chunks(height: int) -> int:
@@ -502,7 +534,7 @@ def _auto_chunks(height: int) -> int:
 
 _render_noisy_jit = functools.partial(jax.jit, static_argnames=(
     "width", "height", "fx", "fy", "opt", "n_chunks", "max_steps",
-    "inc", "phase1_steps", "compact_frac"))(_render_noisy)
+    "inc", "schedule"))(_render_noisy)
 
 
 @functools.partial(jax.jit, static_argnames=("net_cfg",))
@@ -536,8 +568,7 @@ def render_timed(renderer: "Renderer", transform, timer) -> tuple:
             width=renderer.width, height=renderer.height, fx=renderer.fx,
             fy=renderer.fy, opt=FrozenOptions.from_options(opt),
             n_chunks=renderer.n_chunks, max_steps=renderer.max_steps,
-            inc=renderer.rng.inc, phase1_steps=renderer.phase1_steps,
-            compact_frac=renderer.compact_frac)
+            inc=renderer.rng.inc, schedule=renderer.schedule)
         sync(aux)
     if denoise:
         with timer.phase(T_NET):
