@@ -208,7 +208,7 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
 # divisors carry ~1.5x margin over measured survivor curves; overflow at
 # any stage falls back to finishing at the current width (exactness is
 # never traded).  The final stage runs to max_steps with 4x unrolling.
-DEFAULT_SCHEDULE = ((0, 1), (12, 2), (24, 5), (48, 16), (0, 48))
+DEFAULT_SCHEDULE = ((16, 1), (48, 4), (0, 24))
 
 
 def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
@@ -383,8 +383,14 @@ def make_sorted_dst(uniforms: jnp.ndarray) -> jnp.ndarray:
 def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
                   width: int, height: int, fx: float, fy: float,
                   opt: FrozenOptions, n_chunks: int, max_steps: int,
-                  inc: int, schedule=DEFAULT_SCHEDULE):
-    """Trace + composite + aux assembly (the reference render_kernel)."""
+                  inc: int, schedule=DEFAULT_SCHEDULE, mesh_color=None,
+                  mesh_depth=None):
+    """Trace + composite + aux assembly (the reference render_kernel).
+
+    mesh_color [R,3] / mesh_depth [R] optionally carry a rasterized mesh
+    pass: depth clips rays (t_max, volrend.cu:146-153) and color replaces
+    the background during compositing (the onscreen path at
+    volrend.cu:180-184)."""
     R = width * height
     spp = opt.spp
     dirs, cens = device_camera_rays(transform, width, height, fx, fy)
@@ -396,11 +402,13 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
     dst = make_sorted_dst(uniforms)
 
     chunk = R // n_chunks
+    tmax_bg = (jnp.minimum(mesh_depth, 1e9) if mesh_depth is not None
+               else jnp.full((R,), 1e9, jnp.float32))
 
     def render_chunk(args):
-        cd, cv, cc, cdst = args
-        return trace_rays(tree, cd, cv, cc, cdst, opt, max_steps=max_steps,
-                          schedule=schedule)
+        cd, cv, cc, cdst, ctm = args
+        return trace_rays(tree, cd, cv, cc, cdst, opt, tmax_bg=ctm,
+                          max_steps=max_steps, schedule=schedule)
 
     if n_chunks > 1:
         args = (
@@ -408,14 +416,18 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
             vdirs.reshape(n_chunks, chunk, 3),
             wcens.reshape(n_chunks, chunk, 3),
             dst.reshape(n_chunks, chunk, spp),
+            tmax_bg.reshape(n_chunks, chunk),
         )
         out = jax.lax.map(render_chunk, args).reshape(R, 4)
     else:
-        out = render_chunk((wdirs, vdirs, wcens, dst))
+        out = render_chunk((wdirs, vdirs, wcens, dst, tmax_bg))
 
-    # background compositing (volrend.cu:173-184, offscreen path)
+    # compositing (volrend.cu:173-184): background brightness offscreen,
+    # rasterized mesh color when a mesh pass is present
     nalpha = 1.0 - out[:, 3]
-    rgb = out[:, :3] + opt.background_brightness * nalpha[:, None]
+    behind = (mesh_color if mesh_color is not None
+              else opt.background_brightness)
+    rgb = out[:, :3] + behind * nalpha[:, None]
     out = out.at[:, :3].set(rgb)
 
     # aux buffer [8, H, W]: r,g,b,a,r2,g2,b2,a2 (volrend.cu:186-202)
@@ -441,17 +453,20 @@ def _denoise(aux, noisy_img, net_params, net_cfg: GuidanceNetConfig):
     jax.jit,
     static_argnames=("width", "height", "fx", "fy", "opt",
                      "n_chunks", "max_steps", "inc", "net_cfg",
-                     "schedule"))
+                     "schedule", "has_mesh"))
 def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo,
-                       net_params, *, width: int, height: int, fx: float,
-                       fy: float, opt: FrozenOptions, n_chunks: int,
+                       net_params, mesh_color, mesh_depth, *, width: int,
+                       height: int, fx: float, fy: float,
+                       opt: FrozenOptions, n_chunks: int,
                        max_steps: int, inc: int,
                        net_cfg: Optional[GuidanceNetConfig],
-                       schedule=DEFAULT_SCHEDULE):
+                       schedule=DEFAULT_SCHEDULE, has_mesh: bool = False):
     img, aux = _render_noisy(
         tree, transform, state_hi, state_lo, width=width, height=height,
         fx=fx, fy=fy, opt=opt, n_chunks=n_chunks, max_steps=max_steps,
-        inc=inc, schedule=schedule)
+        inc=inc, schedule=schedule,
+        mesh_color=mesh_color if has_mesh else None,
+        mesh_depth=mesh_depth if has_mesh else None)
     if opt.denoise and net_cfg is not None:
         img = _denoise(aux, img, net_params, net_cfg)
     return img, aux
@@ -504,23 +519,33 @@ class Renderer:
     def advance_rng(self):
         self.rng.advance()
 
-    def render(self, transform: np.ndarray):
+    def render(self, transform: np.ndarray, mesh_color=None,
+               mesh_depth=None):
         """transform: [3,4] c2w.  Returns (img [H,W,4], aux [8,H,W]) device
         arrays (not synchronized).  If denoise is on and a denoiser is
         attached, img is the filtered output; aux always carries the noisy
-        statistics (the reference writes aux before denoising)."""
+        statistics (the reference writes aux before denoising).
+
+        mesh_color [H,W,3] / mesh_depth [H,W] from render/raster.py enable
+        mesh compositing (depth-clipped rays + mesh behind volume)."""
         opt = self.options
         denoise = opt.denoise and self.net_cfg is not None
+        has_mesh = mesh_color is not None and mesh_depth is not None
+        R = self.width * self.height
+        mc = (jnp.asarray(mesh_color, jnp.float32).reshape(R, 3)
+              if has_mesh else 0)
+        md = (jnp.asarray(mesh_depth, jnp.float32).reshape(R)
+              if has_mesh else 0)
         return _render_frame_impl(
             self.tree, jnp.asarray(transform, jnp.float32),
             jnp.uint32(self.rng.state >> 32),
             jnp.uint32(self.rng.state & 0xFFFFFFFF),
-            self.net_params if denoise else 0,
+            self.net_params if denoise else 0, mc, md,
             width=self.width, height=self.height, fx=self.fx, fy=self.fy,
             opt=FrozenOptions.from_options(opt),
             n_chunks=self.n_chunks, max_steps=self.max_steps,
             inc=self.rng.inc, net_cfg=self.net_cfg if denoise else None,
-            schedule=self.schedule)
+            schedule=self.schedule, has_mesh=has_mesh)
 
 
 def _auto_chunks(height: int) -> int:
