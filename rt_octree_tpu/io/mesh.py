@@ -198,8 +198,10 @@ def load_obj(path_or_str: str, from_string: bool = False) -> Mesh:
         if ln.startswith("v "):
             parts = ln.split()[1:]
             verts.append([float(x) for x in parts[:3]])
-            if len(parts) >= 6:
-                colors.append([float(x) for x in parts[3:6]])
+            # vertices without explicit colors default to white, like
+            # tinyobj with vertex_color=True
+            colors.append([float(x) for x in parts[3:6]]
+                          if len(parts) >= 6 else [1.0, 1.0, 1.0])
         elif ln.startswith("vn "):
             normals.append([float(x) for x in ln.split()[1:4]])
         elif ln.startswith("f "):
@@ -217,7 +219,7 @@ def load_obj(path_or_str: str, from_string: bool = False) -> Mesh:
                 faces += [idx[0], idx[k], idx[k + 1]]
     pos = np.asarray(verts, np.float32).reshape(-1, 3)
     v = _with_color(pos, DEFAULT_COLOR)
-    if len(colors) == len(verts) and colors:
+    if colors:
         v[:, 3:6] = np.asarray(colors, np.float32)
     m = Mesh(v, np.asarray(faces, np.int32), 3,
              "OBJ" if from_string else os.path.basename(path_or_str))

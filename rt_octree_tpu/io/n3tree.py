@@ -126,10 +126,14 @@ def _decode_data_format(npz: dict, data_dim: int) -> DataFormat:
 def _decode_quantized(npz: dict, N3: int, data_dim: int) -> tuple[np.ndarray, int]:
     """Expand median-cut codebooks (n3tree.cpp:279-340) -> [n_child, data_dim] f16."""
     quant_colors = npz["quant_colors"]  # [n_q, 65536, 3] f16
-    quant_map = npz["quant_map"]  # [n_q, n_child] u16
+    # quant_map may be stored [n_q, capacity, N, N, N] (compress tool) --
+    # the C++ loader reads shape[1] as capacity either way
+    quant_map = np.asarray(npz["quant_map"])
+    capacity = quant_map.shape[1] if quant_map.ndim > 2 else (
+        quant_map.shape[1] // N3)
+    quant_map = quant_map.reshape(quant_map.shape[0], -1)
     sigma = npz["sigma"].reshape(-1)  # [n_child] f16
     n_q, n_child = quant_map.shape
-    capacity = n_child // N3
     retained = npz["data_retained"] if "data_retained" in npz else None
     n_retain = 0 if retained is None else retained.shape[0]
     n_basis = n_q + n_retain

@@ -23,15 +23,14 @@ from ..io.mesh import Mesh
 
 
 def _project(cam: Camera, pos: np.ndarray):
-    """World -> (pixel x, pixel y, ray distance t, cam z)."""
+    """World -> (pixel x, pixel y, cam-space p, cam z)."""
     w2c = cam.w2c
     p = pos @ w2c[:, :3].T + w2c[:, 3]
     z = p[:, 2]  # negative in front of camera
-    t = np.linalg.norm(p, axis=-1)
     with np.errstate(divide="ignore", invalid="ignore"):
         px = p[:, 0] / (-z) * cam.fx + 0.5 * cam.width
         py = -(p[:, 1] / (-z)) * cam.fy + 0.5 * cam.height
-    return px, py, t, z
+    return px, py, p, z
 
 
 def rasterize_meshes(meshes: List[Mesh], cam: Camera,
@@ -50,7 +49,8 @@ def rasterize_meshes(meshes: List[Mesh], cam: Camera,
         if not mesh.visible or mesh.n_verts == 0:
             continue
         pos = mesh.transformed_positions()
-        px, py, t, z = _project(cam, pos)
+        px, py, pcam, z = _project(cam, pos)
+        t = np.linalg.norm(pcam, axis=-1)
         vcol = mesh.vert[:, 3:6]
         if not mesh.unlit and mesh.face_size == 3:
             lam = np.abs(mesh.vert[:, 6:9] @ ld)
@@ -58,7 +58,8 @@ def rasterize_meshes(meshes: List[Mesh], cam: Camera,
 
         if mesh.face_size == 3:
             for f in mesh.faces.reshape(-1, 3):
-                _raster_tri(color, depth, px[f], py[f], t[f], z[f], vcol[f])
+                _raster_tri(color, depth, px[f], py[f], pcam[f], z[f],
+                            vcol[f])
         elif mesh.face_size == 2:
             for f in mesh.faces.reshape(-1, 2):
                 _raster_line(color, depth, px[f], py[f], t[f], z[f],
@@ -70,7 +71,7 @@ def rasterize_meshes(meshes: List[Mesh], cam: Camera,
     return color, depth
 
 
-def _raster_tri(color, depth, px, py, t, z, vcol):
+def _raster_tri(color, depth, px, py, pcam, z, vcol):
     if np.any(z > -1e-6) or not np.all(np.isfinite(px)):
         return
     H, W = depth.shape
@@ -93,10 +94,15 @@ def _raster_tri(color, depth, px, py, t, z, vcol):
     inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
     if not inside.any():
         return
-    # perspective-correct interpolation in 1/|z|
+    # perspective-correct interpolation (attributes weighted by 1/|z|);
+    # ray distance = norm of the interpolated cam-space position, which
+    # IS affine over the surface (|p| is not)
     iz = 1.0 / np.abs(z)
     zi = w0 * iz[0] + w1 * iz[1] + w2 * iz[2]
-    ti = (w0 * t[0] * iz[0] + w1 * t[1] * iz[1] + w2 * t[2] * iz[2]) / zi
+    pi = (w0[..., None] * pcam[0] * iz[0] +
+          w1[..., None] * pcam[1] * iz[1] +
+          w2[..., None] * pcam[2] * iz[2]) / zi[..., None]
+    ti = np.linalg.norm(pi, axis=-1)
     ci = (w0[..., None] * vcol[0] * iz[0] + w1[..., None] * vcol[1] * iz[1] +
           w2[..., None] * vcol[2] * iz[2]) / zi[..., None]
     sub_d = depth[y0:y1, x0:x1]

@@ -1,0 +1,298 @@
+"""Apps layer: mesh/drawlist/OBJ, rasterizer, anim, compress, tools,
+probe, wireframe, headless CLI end-to-end."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rt_octree_tpu.core.camera import Camera
+from rt_octree_tpu.core.options import RenderOptions
+from rt_octree_tpu.io import mesh as M
+from rt_octree_tpu.io import synthetic
+
+
+# ---------------------------------------------------------------------------
+# mesh + raster
+# ---------------------------------------------------------------------------
+
+def test_primitives():
+    for m, fs in [(M.cube(), 3), (M.sphere(6, 8), 3),
+                  (M.camera_frustum(), 2), (M.line((0, 0, 0), (1, 1, 1)), 2),
+                  (M.lattice(4), 1), (M.points(np.zeros((5, 3))), 1)]:
+        assert m.vert.shape[1] == 9
+        assert m.face_size == fs
+        assert m.faces.max(initial=0) < m.n_verts
+
+
+def test_obj_roundtrip(tmp_path):
+    obj = """
+v 0 0 0 1 0 0
+v 1 0 0 0 1 0
+v 0 1 0 0 0 1
+v 1 1 0
+f 1 2 3
+f 2 4 3
+"""
+    path = tmp_path / "t.obj"
+    path.write_text(obj)
+    m = M.load_obj(str(path))
+    assert m.n_verts == 4
+    assert len(m.faces) == 6
+    np.testing.assert_allclose(m.vert[0, 3:6], [1, 0, 0])
+    # normals estimated (all faces in z=0 plane -> |nz| == 1)
+    np.testing.assert_allclose(np.abs(m.vert[:3, 8]), 1.0, atol=1e-5)
+
+
+def test_drawlist_roundtrip(tmp_path):
+    path = str(tmp_path / "cams.draw.npz")
+    t = np.array([[0, 0, 1], [1, 0, 1], [2, 0, 1]], np.float64)
+    r = np.zeros((3, 3))
+    np.savez_compressed(
+        path, cameras="camerafrustum", cameras__t=t, cameras__r=r,
+        cameras__focal_length=800.0, cameras__connect=1,
+        cameras__color=np.array([1.0, 0.5, 0.0]))
+    meshes = M.load_drawlist(path)
+    assert len(meshes) == 1
+    me = meshes[0]
+    assert me.face_size == 2
+    assert me.n_verts == 15  # 5 verts x 3 frustums
+    # translations applied
+    np.testing.assert_allclose(me.vert[0, :3], t[0], atol=1e-6)
+    np.testing.assert_allclose(me.vert[5, :3], t[1], atol=1e-6)
+
+
+def test_rasterizer_depth_and_color():
+    from rt_octree_tpu.render.raster import rasterize_meshes
+    cam = Camera(width=64, height=64, fx=64.0, fy=64.0)
+    cam.center = np.array([0.0, 0.0, 2.0], np.float32)
+    cam.v_back = np.array([0.0, 0.0, 1.0], np.float32)
+    cam.v_world_up = np.array([0.0, 1.0, 0.0], np.float32)
+    cam.update()
+    cube = M.cube(color=(0.2, 0.9, 0.1))
+    cube.unlit = True
+    color, depth = rasterize_meshes([cube], cam, background=np.ones(3))
+    cy, cx = 32, 32
+    assert np.isfinite(depth[cy, cx])
+    # front face at z=0.5 -> distance 1.5 from camera at z=2
+    assert depth[cy, cx] == pytest.approx(1.5, abs=0.05)
+    np.testing.assert_allclose(color[cy, cx], [0.2, 0.9, 0.1], atol=1e-5)
+    assert not np.isfinite(depth[0, 0])
+    np.testing.assert_allclose(color[0, 0], 1.0)
+
+
+def test_render_with_mesh_compositing():
+    import jax.numpy as jnp
+    from rt_octree_tpu.ops.traversal import upload_tree
+    from rt_octree_tpu.render.renderer import Renderer
+    tree = synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4)
+    dt = upload_tree(tree)
+    cam = Camera(width=16, height=16, fx=30.0, fy=30.0)
+    r = Renderer(dt, 16, 16, cam.fx, cam.fy,
+                 options=RenderOptions(spp=2, denoise=False))
+    # mesh plane right in front of the camera occludes everything
+    depth = np.full((16, 16), 0.05, np.float32)
+    col = np.full((16, 16, 3), 0.5, np.float32)
+    img, aux = r.render(cam.transform, mesh_color=col, mesh_depth=depth)
+    np.testing.assert_allclose(np.asarray(img)[..., :3], 0.5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# probe + wireframe
+# ---------------------------------------------------------------------------
+
+def test_probe_query_and_overlay():
+    import jax.numpy as jnp
+    from rt_octree_tpu.ops.traversal import upload_tree
+    from rt_octree_tpu.render.probe import (
+        apply_probe_overlay, retrieve_cursor_lumisphere)
+    from rt_octree_tpu.core.oracle import query_single_from_root
+    tree = synthetic.make_synthetic_tree("shell", depth=4, basis_dim=4)
+    dt = upload_tree(tree)
+    probe = np.array([0.0, 0.0, 0.6], np.float32)
+    coeffs = np.asarray(retrieve_cursor_lumisphere(dt, probe))
+    p = tree.offset + tree.scale * probe
+    sub, _, _ = query_single_from_root(tree, p.copy())
+    np.testing.assert_allclose(
+        coeffs, tree.data[sub, :tree.data_dim - 1].astype(np.float32))
+
+    cam = Camera(width=64, height=64)
+    img = jnp.zeros((64, 64, 4))
+    out = np.asarray(apply_probe_overlay(
+        img, dt, cam.transform, jnp.asarray(coeffs), probe_disp_size=20))
+    # disc center colored, far corner untouched
+    assert out[15, 64 - 15, :3].sum() > 0
+    assert out[63, 0, :3].sum() == 0
+
+
+def test_wireframe():
+    from rt_octree_tpu.io.wireframe import gen_wireframe
+    tree = synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4)
+    verts = gen_wireframe(tree, max_depth=2)
+    assert verts.shape[1] == 9
+    assert len(verts) % 24 == 0  # 24 vertices (12 edges) per cube
+    # all positions within the world-space bounds of the tree
+    world = verts[:, :3] * tree.scale + tree.offset
+    assert (world >= -1e-4).all() and (world <= 1 + 1e-4).all()
+
+
+# ---------------------------------------------------------------------------
+# anim
+# ---------------------------------------------------------------------------
+
+def test_anim_keyframes_roundtrip(tmp_path):
+    from rt_octree_tpu.apps import anim
+    cam = Camera()
+    k0 = anim.AnimKF.from_renderer(cam, RenderOptions(spp=2), duration=0.5)
+    cam2 = Camera()
+    cam2.center = np.array([3.0, 0.0, 1.0], np.float32)
+    cam2.update()
+    k1 = anim.AnimKF.from_renderer(cam2, RenderOptions(spp=2))
+    path = str(tmp_path / "kf.json")
+    anim.save_keyframes(path, [k0, k1], fps=10)
+    kfs, fps = anim.load_keyframes(path)
+    assert fps == 10 and len(kfs) == 2
+    np.testing.assert_allclose(kfs[1].center, cam2.center)
+
+    # spherical interpolation preserves radius continuity
+    mid = anim.sphc_interp(k0.center, k1.center, np.zeros(3), 0.5)
+    r0 = np.linalg.norm(k0.center)
+    r1 = np.linalg.norm(k1.center)
+    assert np.linalg.norm(mid) == pytest.approx((r0 + r1) / 2, rel=1e-5)
+
+    camt, optt = anim.interp_keyframes(kfs[0], kfs[1], 0.25)
+    assert optt.spp == 2
+
+
+def test_anim_offline_render(tmp_path):
+    from rt_octree_tpu.apps import anim
+    calls = []
+
+    def factory(cam, options):
+        calls.append(cam.center.copy())
+        return np.zeros((8, 8, 4), np.float32)
+
+    cam = Camera()
+    k0 = anim.AnimKF.from_renderer(cam, RenderOptions(), duration=0.4)
+    k1 = anim.AnimKF.from_renderer(cam, RenderOptions())
+    n = anim.render_animation(factory, [k0, k1], fps=10,
+                              out_dir=str(tmp_path / "out"), width=8,
+                              height=8)
+    assert n == 4
+    assert len(os.listdir(tmp_path / "out")) == 4
+
+
+# ---------------------------------------------------------------------------
+# compress
+# ---------------------------------------------------------------------------
+
+def test_median_cut():
+    from rt_octree_tpu.apps.compress import median_cut
+    rng = np.random.default_rng(0)
+    # two well-separated clusters must map to distinct codes
+    pts = np.concatenate([rng.normal(0, 0.01, (500, 3)),
+                          rng.normal(5, 0.01, (500, 3))])
+    colors, ids = median_cut(pts, bits=4)
+    assert set(ids[:500]) != set(ids[500:])
+    err = np.abs(colors[ids] - pts).max()
+    assert err < 0.1
+
+
+def test_compress_roundtrip(tmp_path):
+    from rt_octree_tpu.apps.compress import compress_tree_dict
+    from rt_octree_tpu.io import n3tree
+    tree = synthetic.make_synthetic_tree("shell", depth=4, basis_dim=4)
+    z = synthetic.tree_to_npz_dict(tree)
+    zc = compress_tree_dict(z, bits=8, sigma_thresh=1.0, retain=1)
+    assert "quant_colors" in zc and "data" not in zc
+    t2 = n3tree.from_npz_dict(zc)
+    assert t2.data.shape == tree.data.shape
+    # occupied voxels' retained coeff 0 must match exactly; quantized
+    # coeffs approximately
+    occ = tree.data[:, -1].astype(np.float32) > 1.0
+    basis = 4
+    for c in range(3):
+        np.testing.assert_allclose(
+            t2.data[occ, c * basis].astype(np.float32),
+            tree.data[occ, c * basis].astype(np.float32), atol=1e-3)
+        q_err = np.abs(
+            t2.data[occ, c * basis + 1].astype(np.float32) -
+            tree.data[occ, c * basis + 1].astype(np.float32))
+        assert np.median(q_err) < 0.05
+    # sub-threshold sigma zeroed
+    assert (t2.data[~occ, -1] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# tools + cli
+# ---------------------------------------------------------------------------
+
+def test_extract_tools(tmp_path):
+    from rt_octree_tpu.apps.tools import (
+        extract_cams_drawlist, extract_test_poses)
+    scene = tmp_path / "lego"
+    os.makedirs(scene)
+    frames = [{"file_path": f"./test/r_{i}",
+               "transform_matrix": np.eye(4).tolist()} for i in range(3)]
+    for split in ("test", "train"):
+        with open(scene / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.69, "frames": frames}, f)
+    assert extract_test_poses(str(tmp_path)) == 1
+    assert os.path.exists(scene / "pose" / "r_0.txt")
+    assert os.path.exists(scene / "intrinsics.txt")
+    K = np.loadtxt(scene / "intrinsics.txt")
+    assert K[0, 0] == pytest.approx(400 / np.tan(0.345))
+
+    assert extract_cams_drawlist(str(tmp_path)) == 1
+    dl = scene / "lego_cams.draw.npz"
+    assert dl.exists()
+    meshes = M.load_drawlist(str(dl))
+    assert meshes[0].face_size == 2
+
+
+def test_rotvec_matches_scipy(np_rng):
+    from rt_octree_tpu.apps.tools import rotation_matrix_to_rotvec
+    from scipy.spatial.transform import Rotation
+    R = Rotation.random(16, random_state=0)
+    got = rotation_matrix_to_rotvec(R.as_matrix())
+    np.testing.assert_allclose(got, R.as_rotvec(), atol=1e-6)
+
+
+def test_headless_cli_end_to_end(tmp_path):
+    """Full pipeline through the CLI: synthetic tree + blender poses ->
+    PNGs and bit-compatible aux dumps."""
+    from rt_octree_tpu.apps.headless import run
+    from rt_octree_tpu.io.images import read_aux_buffer
+
+    tree = synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4)
+    tree_path = str(tmp_path / "tree.npz")
+    synthetic.save_npz(tree, tree_path)
+    poses = {"camera_angle_x": 0.8, "frames": [
+        {"file_path": "./test/r_0",
+         "transform_matrix": Camera().transform.tolist() + [[0, 0, 0, 1]]},
+    ]}
+    poses_path = str(tmp_path / "transforms_test.json")
+    with open(poses_path, "w") as f:
+        json.dump(poses, f)
+
+    out_dir = str(tmp_path / "out")
+    rc = run([tree_path, poses_path, "-o", out_dir, "-w", "16",
+              "--height", "16", "--spp", "2", "--warmup", "1",
+              "--lut_levels", "2"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "r_0.png"))
+
+    rc = run([tree_path, poses_path, "-o", out_dir, "--write_buffer",
+              "-w", "16", "--height", "16", "--spp", "2", "--warmup", "0",
+              "--lut_levels", "2"])
+    assert rc == 0
+    aux = read_aux_buffer(os.path.join(out_dir, "buf_r_0.bin"), 16, 16)
+    assert aux.shape == (8, 16, 16)
+    np.testing.assert_allclose(aux[4:], aux[:4] ** 2, atol=1e-6)
+
+
+def test_cli_dispatcher(capsys):
+    from rt_octree_tpu.apps.cli import main
+    assert main(["--help"]) == 0
+    assert main(["bogus"]) == 2
