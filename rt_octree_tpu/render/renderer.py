@@ -505,6 +505,7 @@ class Renderer:
         self.rng = Pcg32(seed)
         self.net_cfg: Optional[GuidanceNetConfig] = None
         self.net_params = None
+        self._grid_mesh = None
 
     def set_denoiser(self, cfg_or_path, params=None) -> None:
         """Attach a compact GuidanceNet (mirrors create_denoiser /
@@ -530,6 +531,9 @@ class Renderer:
         mesh compositing (depth-clipped rays + mesh behind volume)."""
         opt = self.options
         denoise = opt.denoise and self.net_cfg is not None
+        if opt.show_grid:
+            mesh_color, mesh_depth = self._grid_mesh_pass(
+                transform, mesh_color, mesh_depth)
         has_mesh = mesh_color is not None and mesh_depth is not None
         R = self.width * self.height
         mc = (jnp.asarray(mesh_color, jnp.float32).reshape(R, 3)
@@ -546,6 +550,55 @@ class Renderer:
             n_chunks=self.n_chunks, max_steps=self.max_steps,
             inc=self.rng.inc, net_cfg=self.net_cfg if denoise else None,
             schedule=self.schedule, has_mesh=has_mesh)
+
+    def render_with_probe(self, transform: np.ndarray, **kw):
+        """render() plus the lumisphere probe overlay when
+        options.enable_probe is set (volrend.cu:100-134, 215-231)."""
+        img, aux = self.render(transform, **kw)
+        opt = self.options
+        if opt.enable_probe:
+            from .probe import apply_probe_overlay, retrieve_cursor_lumisphere
+            coeffs = retrieve_cursor_lumisphere(
+                self.tree, jnp.asarray(opt.probe, jnp.float32))
+            img = apply_probe_overlay(
+                img, self.tree, jnp.asarray(transform, jnp.float32), coeffs,
+                basis_minmax=opt.basis_minmax,
+                probe_disp_size=opt.probe_disp_size)
+        return img, aux
+
+    def _grid_mesh_pass(self, transform, mesh_color, mesh_depth):
+        """Rasterize the octree wireframe for show_grid
+        (cuda_renderer.cpp:115-125); merges with any caller mesh pass."""
+        from ..core.camera import Camera as _Cam
+        from .raster import rasterize_meshes
+        if self._grid_mesh is None:
+            raise RuntimeError(
+                "options.show_grid requires set_grid_mesh(tree_host)")
+        cam = _Cam(width=self.width, height=self.height, fx=self.fx,
+                   fy=self.fy)
+        cam.set_pose(np.asarray(transform))
+        bg = (np.asarray(mesh_color)
+              if mesh_color is not None else np.full(
+                  3, self.options.background_brightness, np.float32))
+        color, depth = rasterize_meshes([self._grid_mesh], cam,
+                                        background=bg)
+        if mesh_depth is not None:
+            md = np.asarray(mesh_depth)
+            closer = md < depth
+            depth = np.where(closer, md, depth)
+            color = np.where(closer[..., None], np.asarray(mesh_color),
+                             color)
+        return color, depth
+
+    def set_grid_mesh(self, tree_host, max_depth: int = None) -> None:
+        """Build the wireframe mesh used by show_grid."""
+        from ..io.mesh import Mesh
+        from ..io.wireframe import gen_wireframe
+        verts = gen_wireframe(tree_host,
+                              max_depth or self.options.grid_max_depth)
+        n = verts.shape[0]
+        self._grid_mesh = Mesh(verts, np.arange(n, dtype=np.int32), 2,
+                               "grid", unlit=True)
 
 
 def _auto_chunks(height: int) -> int:

@@ -296,3 +296,21 @@ def test_cli_dispatcher(capsys):
     from rt_octree_tpu.apps.cli import main
     assert main(["--help"]) == 0
     assert main(["bogus"]) == 2
+
+
+def test_render_with_probe_and_grid():
+    from rt_octree_tpu.ops.traversal import upload_tree
+    from rt_octree_tpu.render.renderer import Renderer
+    tree = synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4)
+    dt = upload_tree(tree)
+    cam = Camera(width=32, height=32, fx=50.0, fy=50.0)
+    opt = RenderOptions(spp=1, denoise=False, enable_probe=True,
+                        probe=(0.0, 0.0, 0.6), probe_disp_size=10,
+                        show_grid=True, grid_max_depth=1)
+    r = Renderer(dt, 32, 32, cam.fx, cam.fy, options=opt)
+    r.set_grid_mesh(tree)
+    img, aux = r.render_with_probe(cam.transform)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    # grid wireframe must darken some background pixels (blue lines)
+    assert (img[..., 2] != img[..., 0]).any() or (img[..., :3] < 1).any()
