@@ -45,6 +45,9 @@ class DeviceTree:
     # lut[:, 0] = packed (depth<<27 | ptr); lut[:, 1] = f32 sigma bits of
     # the shallow leaf (0 when the cell is still internal at lut_levels)
     lut: jax.Array  # [res^3, 2] i32, or [0, 2]
+    # brick rows at level brick_levels (requires max_depth <= levels+2):
+    # [header packed, header sigma, 64x subcell sigma, 64x subcell packed]
+    brick: jax.Array  # [resL^3, 130] i32, or [0, 130]
 
     N: int = flax.struct.field(pytree_node=False)
     data_dim: int = flax.struct.field(pytree_node=False)
@@ -52,6 +55,7 @@ class DeviceTree:
     fmt: int = flax.struct.field(pytree_node=False)  # BasisFormat.value
     max_depth: int = flax.struct.field(pytree_node=False)
     lut_levels: int = flax.struct.field(pytree_node=False)
+    brick_levels: int = flax.struct.field(pytree_node=False, default=0)
     # (width, height, focal) or None
     ndc: Optional[tuple] = flax.struct.field(pytree_node=False, default=None)
 
@@ -114,9 +118,40 @@ def _device_lut_build(chs, *, N: int, N3: int, levels: int, n_chunks: int):
     return out.reshape(n_cells, 2)
 
 
+def build_brick_table(chs_dev, N: int, N3: int, max_depth: int,
+                      brick_levels: int, header_dev):
+    """Device-side brick build: retile the full-depth LUT into node-major
+    4x4x4 blocks and prepend the level-L header.  Pure layout ops -- no
+    gathers (the full LUT is itself built on device)."""
+    assert max_depth - brick_levels == 2 and N == 2
+    resF = N ** max_depth
+    resL = N ** brick_levels
+    n_chunks = 1
+    while (resF ** 3) // n_chunks > (1 << 24):
+        n_chunks *= 2
+    lut_full = _device_lut_build(chs_dev, N=N, N3=N3, levels=max_depth,
+                                 n_chunks=n_chunks)
+
+    @jax.jit
+    def retile(lut_full, header):
+        body = lut_full.reshape(resL, 4, resL, 4, resL, 4, 2)
+        body = body.transpose(0, 2, 4, 1, 3, 5, 6).reshape(resL ** 3, 64, 2)
+        return jnp.concatenate(
+            [header, body[:, :, 1], body[:, :, 0]], axis=1)
+
+    out = retile(lut_full, header_dev)
+    out.block_until_ready()
+    del lut_full
+    return out
+
+
 def upload_tree(tree: N3Tree, lut_levels: int = 7,
-                device=None, lut_on_device: bool = True) -> DeviceTree:
-    """Host tree -> device arrays.  ``lut_levels=0`` disables the LUT."""
+                device=None, lut_on_device: bool = True,
+                brick: bool = True) -> DeviceTree:
+    """Host tree -> device arrays.  ``lut_levels=0`` disables the LUT;
+    ``brick`` additionally builds the 4x4x4 leaf-block table used by the
+    fast march when the tree is shallow enough (max_depth <= lut_levels+2
+    semantics: brick level = max_depth-2)."""
     sigma_np = np.ascontiguousarray(tree.data[:, tree.data_dim - 1])
     sigma_bits = sigma_np.astype(np.float32).view(np.int32)
     chs = np.stack([tree.child, sigma_bits], axis=-1)  # [M, 2] i32
@@ -158,6 +193,27 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
                                     levels=eff_levels, n_chunks=n_chunks)
     else:
         lut_dev = put(lut_arr)
+
+    brick_levels = 0
+    brick_dev = jnp.zeros((0, 130), jnp.int32)
+    # brick table memory is (2^(d-2))^3 * 520B -> cap at depth 9 (~1GB)
+    if (brick and tree.N == 2 and eff_levels > 0 and tree.max_depth >= 3
+            and tree.max_depth <= 9):
+        bl = tree.max_depth - 2
+        if bl == eff_levels:
+            header = lut_dev
+        else:
+            nc = 1
+            while (tree.N ** bl) ** 3 // nc > (1 << 24):
+                nc *= 2
+            header = _device_lut_build(chs_dev, N=tree.N, N3=tree.N3,
+                                       levels=bl, n_chunks=nc)
+        try:
+            brick_dev = build_brick_table(chs_dev, tree.N, tree.N3,
+                                          tree.max_depth, bl, header)
+            brick_levels = bl
+        except Exception:
+            pass  # brick is an accelerator only; fall back silently
     return DeviceTree(
         data=put(tree.data),
         child=put(tree.child),
@@ -167,12 +223,14 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
         scale=put(tree.scale),
         extra=put(np.asarray(extra, np.float32)),
         lut=lut_dev,
+        brick=brick_dev,
         N=tree.N,
         data_dim=tree.data_dim,
         basis_dim=tree.data_format.basis_dim,
         fmt=tree.data_format.format.value,
         max_depth=max(tree.max_depth, 1),
         lut_levels=eff_levels,
+        brick_levels=brick_levels,
         ndc=ndc,
     )
 

@@ -30,7 +30,8 @@ from ..io.n3tree import BasisFormat
 from ..models.guidance_net import GuidanceNetCompact, GuidanceNetConfig
 from ..ops.filtering import guided_filter
 from ..ops.sh import eval_asg_basis, eval_sg_basis, eval_sh_basis
-from ..ops.traversal import DeviceTree, tree_query_full
+from ..ops.traversal import (
+    LUT_DEPTH_SENTINEL, LUT_PTR_BITS, DeviceTree, tree_query_full)
 from ..utils.rng import Pcg32, pcg32_uniforms_range
 
 FLT_MAX = float(np.finfo(np.float32).max)
@@ -145,23 +146,20 @@ def _dda_unit(local, invdir):
     return jnp.minimum(1e4, jnp.maximum(t1, t2).min(-1))
 
 
-def _march_body(tree: DeviceTree, opt, spp: int, consts, state):
-    """One leaf step for every ray in the bundle.
-
-    consts: (cen_t, d_t, invdir, delta_scale, dst, tmax) per-ray constants
-    state:  (active, t, src, sppc, shn, leafs, cnts)
-    """
+def _step_update(opt, spp: int, consts, state, sub_ptr, cube, local, sigma,
+                 mask):
+    """Advance rays one leaf step given the leaf info (rt_core.cuh:241-270
+    semantics: DDA exit + epsilon, optical-depth accumulation, sorted
+    threshold crossing with distinct-leaf recording)."""
     (cen_t, d_t, invdir, delta_scale, dst, tmax) = consts
     (active, t, src, sppc, shn, leafs, cnts) = state
     sigma_thresh = jnp.float32(opt.sigma_thresh)
     step_size = jnp.float32(opt.step_size)
     iota_spp = jnp.arange(spp, dtype=jnp.int32)
 
-    pos = cen_t + t[:, None] * d_t
-    sub_ptr, cube, local, sigma = tree_query_full(tree, pos, active=active)
     t_sub = _dda_unit(local, invdir) / cube
     delta_t = t_sub + step_size
-    has_sigma = (sigma > sigma_thresh) & active
+    has_sigma = (sigma > sigma_thresh) & mask
     delta = jnp.where(has_sigma, delta_t * delta_scale * sigma, 0.0)
     s_new = src + delta
 
@@ -176,17 +174,88 @@ def _march_body(tree: DeviceTree, opt, spp: int, consts, state):
     sppc = sppc + jnp.where(rec, c, 0)
 
     src = jnp.where(has_sigma, s_new, src)
-    t = jnp.where(active, t + delta_t, t)
+    t = jnp.where(mask, t + delta_t, t)
     active = active & (t < tmax) & (sppc < spp)
     return (active, t, src, sppc, shn, leafs, cnts)
 
 
+def _march_body(tree: DeviceTree, opt, spp: int, consts, state):
+    """One leaf step for every ray: query + step update."""
+    (cen_t, d_t, invdir, *_r) = consts
+    (active, t, *_s) = state
+    pos = cen_t + t[:, None] * d_t
+    sub_ptr, cube, local, sigma = tree_query_full(tree, pos, active=active)
+    return _step_update(opt, spp, consts, state, sub_ptr, cube, local,
+                        sigma, state[0])
+
+
+def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
+                      t_in: int = 4):
+    """One brick round: a single 520-byte gather fetches the 4x4x4 leaf
+    block under the ray's level-L cell, then up to ``t_in`` exact leaf
+    steps run from VPU registers.  Wide gather rows are ~free on TPU
+    (same latency as 8B), so this collapses the serial-gather count the
+    latency-bound march tail pays for.  Bit-identical to the thin path:
+    the block holds the same (ptr, depth, sigma) records the full-depth
+    LUT would return, and subcell selection reproduces floor(pos*res)
+    exactly (power-of-two scaling)."""
+    (cen_t, d_t, invdir, delta_scale, dst, tmax) = consts
+    active = state[0]
+    R = active.shape[0]
+    L = tree.brick_levels
+    resL = tree.N ** L
+    iota64 = jnp.arange(64, dtype=jnp.int32)
+
+    t = state[1]
+    pos = jnp.clip(cen_t + t[:, None] * d_t, 0.0, 1.0 - 1e-6)
+    cell = jnp.clip(jnp.floor(pos * resL).astype(jnp.int32), 0, resL - 1)
+    flat = (cell[:, 0] * resL + cell[:, 1]) * resL + cell[:, 2]
+    row = jnp.take(tree.brick, jnp.where(active, flat, 0), axis=0)
+    header = row[:, 0]
+    hsig = row[:, 1]
+    hdepth = (header >> LUT_PTR_BITS) & LUT_DEPTH_SENTINEL
+    shallow = hdepth < LUT_DEPTH_SENTINEL
+    row_sig = row[:, 2:66]  # [R, 64] f32 bits of subcell sigmas
+    row_pck = row[:, 66:130]  # [R, 64] packed (depth<<27 | ptr)
+
+    in_cell = active
+    for _ in range(t_in):
+        t = state[1]
+        pos = jnp.clip(cen_t + t[:, None] * d_t, 0.0, 1.0 - 1e-6)
+        sub4 = jnp.clip(
+            jnp.floor((pos * resL - cell.astype(jnp.float32)) * 4.0
+                      ).astype(jnp.int32), 0, 3)
+        idx64 = (sub4[:, 0] * 4 + sub4[:, 1]) * 4 + sub4[:, 2]
+        onehot = (iota64[None, :] == idx64[:, None]).astype(jnp.int32)
+        sel_sig = jnp.sum(row_sig * onehot, axis=1)
+        sel_pck = jnp.sum(row_pck * onehot, axis=1)
+        sig_bits = jnp.where(shallow, hsig, sel_sig)
+        packed = jnp.where(shallow, header, sel_pck)
+        depth = (packed >> LUT_PTR_BITS) & LUT_DEPTH_SENTINEL
+        sub_ptr = packed & ((1 << LUT_PTR_BITS) - 1)
+        cube = jnp.exp2(depth.astype(jnp.float32))
+        local = pos * cube[:, None]
+        local = local - jnp.floor(local)
+        sigma = jax.lax.bitcast_convert_type(sig_bits, jnp.float32)
+
+        mask = in_cell & state[0]
+        state = _step_update(opt, spp, consts, state, sub_ptr, cube, local,
+                             sigma, mask)
+        # still inside the same level-L cell?
+        pos_n = jnp.clip(cen_t + state[1][:, None] * d_t, 0.0, 1.0 - 1e-6)
+        cell_n = jnp.clip(jnp.floor(pos_n * resL).astype(jnp.int32), 0,
+                          resL - 1)
+        in_cell = mask & state[0] & jnp.all(cell_n == cell, axis=1)
+    return state
+
+
 def _march_loop(tree, opt, spp, consts, state, steps: int,
-                unroll: int = 1):
+                unroll: int = 1, brick: bool = False):
     """While-march with optional K-step unrolling (fewer cond evaluations
     and loop round-trips; the tail phases are latency-bound per round)."""
     if steps <= 0:
         return state
+    use_brick = brick and tree.brick_levels > 0
 
     def cond(sv):
         step, st = sv
@@ -194,6 +263,9 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
 
     def body(sv):
         step, st = sv
+        if use_brick:
+            st = _march_body_brick(tree, opt, spp, consts, st, t_in=4)
+            return step + 4, st
         for _ in range(unroll):
             st = _march_body(tree, opt, spp, consts, st)
         return step + unroll, st
@@ -292,22 +364,28 @@ def _unpack_bundle(row, spp):
     return consts, state
 
 
-def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps):
-    """Run the compaction schedule; returns (leafs, cnts) at full width."""
+def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
+                    stage: int = 0):
+    """Run the compaction schedule; returns (leafs, cnts) at full width.
+
+    Stages after the first compaction use the brick body when available:
+    narrow widths are gather-latency-bound, exactly where the 4x4x4 block
+    fetch amortizes (full width would pay its 520B/ray bandwidth)."""
     (steps, frac), rest = schedule[0], schedule[1:]
     R = state[0].shape[0]
+    brick = stage >= 1
     last = not rest
     if last:
         steps = max_steps
     state = _march_loop(tree, opt, spp, consts, state, steps,
-                        unroll=4 if last else 1)
+                        unroll=4 if last else 1, brick=brick)
     if last:
         return state[5], state[6]
 
     cap = max(int(R // rest[0][1]), 1)
     if cap >= R:
         return _march_schedule(tree, opt, spp, consts, state, rest,
-                               max_steps)
+                               max_steps, stage)
     active = state[0]
     n_active = jnp.sum(active.astype(jnp.int32))
 
@@ -319,14 +397,15 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps):
         c_consts, c_state = _unpack_bundle(row, spp)
         c_state = (c_state[0] & valid,) + c_state[1:]
         c_leafs, c_cnts = _march_schedule(tree, opt, spp, c_consts,
-                                          c_state, rest, max_steps)
+                                          c_state, rest, max_steps,
+                                          stage + 1)
         leafs = state[5].at[idx].set(c_leafs, mode="drop")
         cnts = state[6].at[idx].set(c_cnts, mode="drop")
         return leafs, cnts
 
     def full(_):
         st = _march_loop(tree, opt, spp, consts, state, max_steps,
-                         unroll=2)
+                         unroll=2, brick=stage >= 1)
         return st[5], st[6]
 
     return jax.lax.cond(n_active <= cap, compacted, full, None)
