@@ -119,10 +119,18 @@ def _device_lut_build(chs, *, N: int, N3: int, levels: int, n_chunks: int):
 
 
 def build_brick_table(chs_dev, N: int, N3: int, max_depth: int,
-                      brick_levels: int, header_dev):
-    """Device-side brick build: retile the full-depth LUT into node-major
-    4x4x4 blocks and prepend the level-L header.  Pure layout ops -- no
-    gathers (the full LUT is itself built on device)."""
+                      brick_levels: int):
+    """Device-side brick build: regroup the full-depth LUT into cell-major
+    4x4x4 blocks of (sigma, packed-leaf) pairs.
+
+    Row layout [resL^3, 128]: lanes 0..63 = subcell sigma bits (subcell
+    index (a*4+b)*4+c), lanes 64..127 = subcell packed (depth<<27 | ptr).
+    Exactly 128 lanes = one TPU lane tile, no padding waste.  A row fully
+    describes the leaves under the level-L cell because the full-depth
+    LUT replicates leaves shallower than the grid into each covered cell.
+
+    Built with a flat index-permutation gather (a multi-small-dim reshape
+    would explode under TPU tile padding)."""
     assert max_depth - brick_levels == 2 and N == 2
     resF = N ** max_depth
     resL = N ** brick_levels
@@ -132,14 +140,30 @@ def build_brick_table(chs_dev, N: int, N3: int, max_depth: int,
     lut_full = _device_lut_build(chs_dev, N=N, N3=N3, levels=max_depth,
                                  n_chunks=n_chunks)
 
-    @jax.jit
-    def retile(lut_full, header):
-        body = lut_full.reshape(resL, 4, resL, 4, resL, 4, 2)
-        body = body.transpose(0, 2, 4, 1, 3, 5, 6).reshape(resL ** 3, 64, 2)
-        return jnp.concatenate(
-            [header, body[:, :, 1], body[:, :, 0]], axis=1)
+    n_total = resL ** 3 * 64
 
-    out = retile(lut_full, header_dev)
+    @functools.partial(jax.jit, static_argnames=("nc",))
+    def regroup(lut_full, *, nc: int):
+        def chunk(i0):
+            idx = i0 + jnp.arange(n_total // nc, dtype=jnp.int32)
+            cell = idx >> 6
+            sub = idx & 63
+            a, b, c = (sub >> 4) & 3, (sub >> 2) & 3, sub & 3
+            z7 = cell % resL
+            y7 = (cell // resL) % resL
+            x7 = cell // (resL * resL)
+            flatF = (((x7 * 4 + a) * resF + (y7 * 4 + b)) * resF +
+                     (z7 * 4 + c))
+            return jnp.take(lut_full, flatF, axis=0)  # [n/nc, 2]
+
+        i0s = jnp.arange(nc, dtype=jnp.int32) * (n_total // nc)
+        body = jax.lax.map(chunk, i0s).reshape(resL ** 3, 64, 2)
+        return jnp.concatenate([body[:, :, 1], body[:, :, 0]], axis=1)
+
+    nc = 1
+    while n_total // nc > (1 << 24):
+        nc *= 2
+    out = regroup(lut_full, nc=nc)
     out.block_until_ready()
     del lut_full
     return out
@@ -195,25 +219,15 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
         lut_dev = put(lut_arr)
 
     brick_levels = 0
-    brick_dev = jnp.zeros((0, 130), jnp.int32)
-    # brick table memory is (2^(d-2))^3 * 520B -> cap at depth 9 (~1GB)
+    brick_dev = jnp.zeros((0, 128), jnp.int32)
+    # brick table memory is (2^(d-2))^3 * 512B -> cap at depth 9 (~1GB)
     if (brick and tree.N == 2 and eff_levels > 0 and tree.max_depth >= 3
-            and tree.max_depth <= 9):
+            and tree.max_depth <= 9
+            and tree.child.shape[0] < (1 << LUT_PTR_BITS)):
         bl = tree.max_depth - 2
-        if bl == eff_levels:
-            header = lut_dev
-        else:
-            nc = 1
-            while (tree.N ** bl) ** 3 // nc > (1 << 24):
-                nc *= 2
-            header = _device_lut_build(chs_dev, N=tree.N, N3=tree.N3,
-                                       levels=bl, n_chunks=nc)
-        try:
-            brick_dev = build_brick_table(chs_dev, tree.N, tree.N3,
-                                          tree.max_depth, bl, header)
-            brick_levels = bl
-        except Exception:
-            pass  # brick is an accelerator only; fall back silently
+        brick_dev = build_brick_table(chs_dev, tree.N, tree.N3,
+                                      tree.max_depth, bl)
+        brick_levels = bl
     return DeviceTree(
         data=put(tree.data),
         child=put(tree.child),

@@ -211,12 +211,8 @@ def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
     cell = jnp.clip(jnp.floor(pos * resL).astype(jnp.int32), 0, resL - 1)
     flat = (cell[:, 0] * resL + cell[:, 1]) * resL + cell[:, 2]
     row = jnp.take(tree.brick, jnp.where(active, flat, 0), axis=0)
-    header = row[:, 0]
-    hsig = row[:, 1]
-    hdepth = (header >> LUT_PTR_BITS) & LUT_DEPTH_SENTINEL
-    shallow = hdepth < LUT_DEPTH_SENTINEL
-    row_sig = row[:, 2:66]  # [R, 64] f32 bits of subcell sigmas
-    row_pck = row[:, 66:130]  # [R, 64] packed (depth<<27 | ptr)
+    row_sig = row[:, :64]  # [R, 64] f32 bits of subcell leaf sigmas
+    row_pck = row[:, 64:128]  # [R, 64] packed (depth<<27 | ptr)
 
     in_cell = active
     for _ in range(t_in):
@@ -229,8 +225,8 @@ def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
         onehot = (iota64[None, :] == idx64[:, None]).astype(jnp.int32)
         sel_sig = jnp.sum(row_sig * onehot, axis=1)
         sel_pck = jnp.sum(row_pck * onehot, axis=1)
-        sig_bits = jnp.where(shallow, hsig, sel_sig)
-        packed = jnp.where(shallow, header, sel_pck)
+        sig_bits = sel_sig
+        packed = sel_pck
         depth = (packed >> LUT_PTR_BITS) & LUT_DEPTH_SENTINEL
         sub_ptr = packed & ((1 << LUT_PTR_BITS) - 1)
         cube = jnp.exp2(depth.astype(jnp.float32))
