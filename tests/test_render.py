@@ -115,3 +115,74 @@ def test_compaction_paths_match_oracle(tree, compact_frac, phase1):
     rng = Pcg32(20230418)
     img_ref, aux_ref = render_frame_oracle(tree, cam, opt, rng)
     np.testing.assert_allclose(np.asarray(img), img_ref, atol=2e-5)
+
+
+def test_ndc_render_matches_oracle(tree):
+    """LLFF NDC warp end-to-end vs oracle."""
+    tree2 = synthetic.make_synthetic_tree("shell", depth=4, basis_dim=4)
+    tree2.use_ndc = True
+    tree2.ndc_width = 1008.0
+    tree2.ndc_height = 756.0
+    tree2.ndc_focal = 800.0
+    cam = Camera(width=16, height=16, fx=60.0, fy=60.0)
+    # forward-facing pose looking down -z from near origin
+    cam.center = np.array([0.02, 0.01, 0.3], np.float32)
+    cam.v_back = np.array([0.0, 0.0, 1.0], np.float32)
+    cam.v_world_up = np.array([0.0, 1.0, 0.0], np.float32)
+    cam.update()
+    opt = RenderOptions(spp=2, denoise=False)
+    dt = upload_tree(tree2, lut_levels=3)
+    assert dt.ndc is not None
+    r = Renderer(dt, 16, 16, cam.fx, cam.fy, options=opt, n_chunks=1)
+    img, _ = r.render(cam.transform)
+    rng = Pcg32(20230418)
+    img_ref, _ = render_frame_oracle(tree2, cam, opt, rng)
+    np.testing.assert_allclose(np.asarray(img), img_ref, atol=3e-5)
+
+
+def test_rgba_format_tree():
+    """RGBA trees (basis_dim < 0) skip basis evaluation."""
+    from rt_octree_tpu.io.n3tree import BasisFormat, DataFormat
+    tree2 = synthetic.make_synthetic_tree("shell", depth=4, basis_dim=1)
+    # reinterpret as RGBA: data_dim stays 4 = [r, g, b, sigma]
+    tree2.data_format = DataFormat(BasisFormat.RGBA, -1)
+    cam = make_camera(12, 12)
+    opt = RenderOptions(spp=2, denoise=False)
+    dt = upload_tree(tree2, lut_levels=0)
+    assert dt.basis_dim == -1
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt,
+                 n_chunks=1)
+    img, _ = r.render(cam.transform)
+    rng = Pcg32(20230418)
+    img_ref, _ = render_frame_oracle(tree2, cam, opt, rng)
+    np.testing.assert_allclose(np.asarray(img), img_ref, atol=2e-5)
+
+
+def test_sg_basis_parity(np_rng):
+    import jax.numpy as jnp
+    from rt_octree_tpu.core.sh_np import eval_sg_basis_np, eval_asg_basis_np
+    from rt_octree_tpu.ops.sh import eval_sg_basis, eval_asg_basis
+    dirs = np_rng.standard_normal((32, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    extra_sg = np_rng.standard_normal(4 * 4).astype(np.float32)
+    got = np.asarray(eval_sg_basis(4, jnp.asarray(extra_sg),
+                                   jnp.asarray(dirs)))
+    ref = eval_sg_basis_np(4, extra_sg, dirs)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    extra_asg = np_rng.standard_normal(11 * 2).astype(np.float32)
+    got = np.asarray(eval_asg_basis(2, jnp.asarray(extra_asg),
+                                    jnp.asarray(dirs)))
+    ref = eval_asg_basis_np(2, extra_asg, dirs)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_sh_basis_max_degree(np_rng):
+    import jax.numpy as jnp
+    from rt_octree_tpu.core.sh_np import eval_sh_basis_np
+    from rt_octree_tpu.ops.sh import eval_sh_basis
+    dirs = np_rng.standard_normal((16, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    for bd in (1, 4, 9, 16, 25):
+        got = np.asarray(eval_sh_basis(bd, jnp.asarray(dirs)))
+        np.testing.assert_allclose(got, eval_sh_basis_np(bd, dirs),
+                                   atol=1e-5)
