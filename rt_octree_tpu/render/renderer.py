@@ -276,7 +276,7 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
 # divisors carry ~1.5x margin over measured survivor curves; overflow at
 # any stage falls back to finishing at the current width (exactness is
 # never traded).  The final stage runs to max_steps with 4x unrolling.
-DEFAULT_SCHEDULE = ((16, 1), (48, 4), (0, 24))
+DEFAULT_SCHEDULE = ((6, 1), (58, 3.5), (0, 24))
 
 
 def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
