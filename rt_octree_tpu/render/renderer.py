@@ -677,8 +677,11 @@ class Renderer:
 
 
 def _auto_chunks(height: int) -> int:
-    """Row-chunk count heuristic: ~64-row chunks."""
-    return max(1, height // 64)
+    """Default chunk count.  The compaction schedule supersedes row
+    chunking (which serializes via lax.map and was only a proxy for
+    freeing dead lanes), so the default is a single chunk; pass
+    n_chunks explicitly to bound peak memory on very large frames."""
+    return 1
 
 
 # ---------------------------------------------------------------------------

@@ -186,3 +186,28 @@ def test_sh_basis_max_degree(np_rng):
         got = np.asarray(eval_sh_basis(bd, jnp.asarray(dirs)))
         np.testing.assert_allclose(got, eval_sh_basis_np(bd, dirs),
                                    atol=1e-5)
+
+
+def test_render_timed_phases(tree):
+    from rt_octree_tpu.render.renderer import render_timed
+    from rt_octree_tpu.utils.timer import PhaseTimer
+    import jax
+    from rt_octree_tpu.models.guidance_net import (
+        GuidanceNetConfig, init_params, compact_params)
+    cam = make_camera(16, 16)
+    dt = upload_tree(tree)
+    r = Renderer(dt, 16, 16, cam.fx, cam.fy,
+                 options=RenderOptions(spp=2, denoise=True))
+    cfg = GuidanceNetConfig(mid_channels=8, num_layers=2, num_branches=2,
+                            kernel_levels=2)
+    r.set_denoiser(cfg, compact_params(cfg, init_params(
+        cfg, jax.random.PRNGKey(0))))
+    timer = PhaseTimer()
+    img, aux = render_timed(r, cam.transform, timer)
+    assert timer.cnt == 1
+    assert all(s > 0 for s in timer.sum)  # all three phases ran
+    report = timer.report()
+    assert "render" in report and "FPS" in report
+    # split-phase output must equal the fused path
+    img2, _ = r.render(cam.transform)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img2), atol=1e-6)
