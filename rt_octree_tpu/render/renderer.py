@@ -515,12 +515,13 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
     return img, aux
 
 
-def _denoise(aux, noisy_img, net_params, net_cfg: GuidanceNetConfig):
+def _denoise(aux_nhwc, noisy_img, net_params, net_cfg: GuidanceNetConfig):
     """GuidanceNet forward + guided filtering, fully fused on device
-    (replaces the TorchScript boundary at denoiser.cpp:39-56)."""
+    (replaces the TorchScript boundary at denoiser.cpp:39-56).
+    aux_nhwc: [H, W, 8] -- the render's native layout, so no transpose
+    sits between the march and the convs."""
     model = GuidanceNetCompact(net_cfg)
-    aux_nhwc = jnp.moveaxis(aux, 0, -1)[None]  # [1, H, W, 8]
-    weight, guidance = model.apply({"params": net_params}, aux_nhwc)
+    weight, guidance = model.apply({"params": net_params}, aux_nhwc[None])
     return guided_filter(weight[0], guidance[0], noisy_img)
 
 
@@ -543,7 +544,8 @@ def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo,
         mesh_color=mesh_color if has_mesh else None,
         mesh_depth=mesh_depth if has_mesh else None)
     if opt.denoise and net_cfg is not None:
-        img = _denoise(aux, img, net_params, net_cfg)
+        aux_nhwc = jnp.moveaxis(aux, 0, -1)
+        img = _denoise(aux_nhwc, img, net_params, net_cfg)
     return img, aux
 
 
