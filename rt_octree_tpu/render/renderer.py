@@ -407,40 +407,90 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
     return jax.lax.cond(n_active <= cap, compacted, full, None)
 
 
+def _eval_masked_basis(tree: DeviceTree, vdirs, opt):
+    basis_dim = tree.basis_dim
+    if tree.fmt == BasisFormat.SH.value:
+        basis = eval_sh_basis(basis_dim, vdirs)
+    elif tree.fmt == BasisFormat.SG.value:
+        basis = eval_sg_basis(basis_dim, tree.extra, vdirs)
+    elif tree.fmt == BasisFormat.ASG.value:
+        basis = eval_asg_basis(basis_dim, tree.extra, vdirs)
+    else:
+        basis = jnp.zeros((vdirs.shape[0], basis_dim), jnp.float32)
+    lo, hi = opt.basis_minmax
+    mask = (np.arange(basis_dim) >= lo) & (np.arange(basis_dim) <= hi)
+    return basis * jnp.asarray(mask, jnp.float32)[None, :]
+
+
+def _leaf_rgb(tree: DeviceTree, leaf_idx, basis_rows):
+    """sigmoid(SH(vdir) . coeffs) per gathered leaf (rt_core.cuh:286-317);
+    leaf_idx [M], basis_rows [M, basis_dim] -> [M, 3]."""
+    vals = jnp.take(tree.data, leaf_idx, axis=0).astype(jnp.float32)
+    if tree.basis_dim >= 0:
+        coeffs = vals[:, :3 * tree.basis_dim].reshape(
+            -1, 3, tree.basis_dim)
+        logits = jnp.einsum("mcb,mb->mc", coeffs, basis_rows,
+                            precision=jax.lax.Precision.HIGHEST)
+        return jax.nn.sigmoid(logits)
+    return vals[:, :3]
+
+
 def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
            spp: int):
-    """Per-distinct-leaf basis shading, vectorized over [R, SPP] slots."""
+    """Per-distinct-leaf basis shading over the prefix-packed [R, SPP]
+    hit slots.
+
+    Two-tier gather: slot 0 is shaded for every ray (one [R]-row gather);
+    slots >= 1 are sparse (most rays consume all SPP thresholds in 1-2
+    distinct leaves), so they are compacted to R/2 lanes and scatter-added
+    back.  Falls back to the dense [R*SPP]-row gather if a frame ever has
+    more multi-leaf slots than the cap."""
     R = vdirs.shape[0]
-    basis_dim = tree.basis_dim
-    valid = cnts > 0
-
-    vals = jnp.take(tree.data, leafs.reshape(-1), axis=0).reshape(
-        R, spp, tree.data_dim).astype(jnp.float32)
-
-    if basis_dim >= 0:
-        if tree.fmt == BasisFormat.SH.value:
-            basis = eval_sh_basis(basis_dim, vdirs)
-        elif tree.fmt == BasisFormat.SG.value:
-            basis = eval_sg_basis(basis_dim, tree.extra, vdirs)
-        elif tree.fmt == BasisFormat.ASG.value:
-            basis = eval_asg_basis(basis_dim, tree.extra, vdirs)
-        else:
-            basis = jnp.zeros((R, basis_dim), jnp.float32)
-        lo, hi = opt.basis_minmax
-        mask = (np.arange(basis_dim) >= lo) & (np.arange(basis_dim) <= hi)
-        basis = basis * jnp.asarray(mask, jnp.float32)[None, :]
-
-        coeffs = vals[..., :3 * basis_dim].reshape(R, spp, 3, basis_dim)
-        logits = jnp.einsum("rscb,rb->rsc", coeffs, basis,
-                            precision=jax.lax.Precision.HIGHEST)
-        rgb_per_leaf = jax.nn.sigmoid(logits)  # [R, spp, 3]
-    else:
-        rgb_per_leaf = vals[..., :3]
-
-    w = jnp.where(valid, cnts, 0.0)
-    rgb = jnp.einsum("rsc,rs->rc", rgb_per_leaf, w,
-                     precision=jax.lax.Precision.HIGHEST) / spp
+    basis = _eval_masked_basis(tree, vdirs, opt) if tree.basis_dim >= 0 \
+        else jnp.zeros((R, 0), jnp.float32)
+    w = jnp.where(cnts > 0, cnts, 0.0)
     alpha = jnp.sum(w, axis=1) / spp
+
+    if spp == 1:
+        rgb = _leaf_rgb(tree, leafs[:, 0], basis) * w[:, 0:1] / spp
+        return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
+    extra_mask = (cnts[:, 1:] > 0).reshape(-1)  # [R*(spp-1)]
+    n_extra = jnp.sum(extra_mask.astype(jnp.int32))
+    cap = max(R // 2, 1)
+
+    def two_tier(_):
+        rgb = _leaf_rgb(tree, leafs[:, 0], basis) * w[:, 0:1]
+        flat = jnp.nonzero(extra_mask, size=cap,
+                           fill_value=R * (spp - 1))[0]
+        ray = jnp.minimum(flat // (spp - 1), R - 1)
+        slot = flat % (spp - 1) + 1
+        leaf_e = jnp.take(leafs.reshape(-1),
+                          jnp.minimum(ray * spp + slot, R * spp - 1))
+        w_e = jnp.take(w.reshape(-1),
+                       jnp.minimum(ray * spp + slot, R * spp - 1))
+        w_e = jnp.where(flat < R * (spp - 1), w_e, 0.0)
+        basis_e = jnp.take(basis, ray, axis=0)
+        rgb_e = _leaf_rgb(tree, leaf_e, basis_e) * w_e[:, None]
+        return rgb.at[ray].add(
+            jnp.where(flat[:, None] < R * (spp - 1), rgb_e, 0.0),
+            mode="drop")
+
+    def dense(_):
+        vals = jnp.take(tree.data, leafs.reshape(-1), axis=0).reshape(
+            R, spp, tree.data_dim).astype(jnp.float32)
+        if tree.basis_dim >= 0:
+            coeffs = vals[..., :3 * tree.basis_dim].reshape(
+                R, spp, 3, tree.basis_dim)
+            logits = jnp.einsum("rscb,rb->rsc", coeffs, basis,
+                                precision=jax.lax.Precision.HIGHEST)
+            rgb_per_leaf = jax.nn.sigmoid(logits)
+        else:
+            rgb_per_leaf = vals[..., :3]
+        return jnp.einsum("rsc,rs->rc", rgb_per_leaf, w,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    rgb = jax.lax.cond(n_extra <= cap, two_tier, dense, None) / spp
     return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
 
