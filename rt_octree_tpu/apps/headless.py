@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="path to compact GuidanceNet (.gnet) artifact")
     p.add_argument("--write_buffer", action="store_true",
                    help="save auxiliary buffers instead of images")
+    p.add_argument("--draw", default="",
+                   help="npz drawlist file; meshes are rasterized and "
+                        "composited (opts.cpp:10-11 / mesh drawlists)")
+    p.add_argument("--grid", type=int, default=None, metavar="DEPTH",
+                   help="show octree wireframe up to DEPTH")
+    p.add_argument("--probe", default="",
+                   help="x,y,z lumisphere probe point (draws the overlay)")
     # common opts (opts.cpp:7-42)
     p.add_argument("-w", "--width", type=int, default=800)
     p.add_argument("--height", type=int, default=800)
@@ -120,11 +127,24 @@ def run(argv: Optional[Sequence[str]] = None) -> int:
         options.spp = args.spp
     if args.no_denoise or not args.gnet:
         options.denoise = False
+    if args.grid is not None:
+        options.show_grid = True
+        options.grid_max_depth = args.grid
+    if args.probe:
+        options.enable_probe = True
+        options.probe = tuple(float(x) for x in args.probe.split(","))
 
     dt = upload_tree(tree, lut_levels=args.lut_levels)
     renderer = Renderer(dt, width, height, fx, fy, options=options)
     if args.gnet:
         renderer.set_denoiser(args.gnet)
+    if options.show_grid:
+        renderer.set_grid_mesh(tree)
+
+    draw_meshes = []
+    if args.draw:
+        from ..io.mesh import load_drawlist
+        draw_meshes = [m for m in load_drawlist(args.draw) if m.visible]
 
     out_dir = args.write_images
     if out_dir:
@@ -133,15 +153,33 @@ def run(argv: Optional[Sequence[str]] = None) -> int:
     # warm-up (main_headless.cpp:470-479)
     timer = PhaseTimer()
     cam = Camera(width, height, fx, fy)
+
+    def render_once(cam):
+        if draw_meshes or options.enable_probe:
+            from ..utils.timer import T_RENDER, sync
+            kw = {}
+            if draw_meshes:
+                from ..render.raster import rasterize_meshes
+                bg = np.full(3, options.background_brightness, np.float32)
+                color, depth = rasterize_meshes(draw_meshes, cam,
+                                                background=bg)
+                kw = dict(mesh_color=color, mesh_depth=depth)
+            with timer.phase(T_RENDER):
+                img, aux = renderer.render_with_probe(cam.transform, **kw)
+                sync(img)
+            timer.frame_done()
+            return img, aux
+        return render_timed(renderer, cam.transform, timer)
+
     cam.set_pose(poses[0])
     for _ in range(args.warmup):
-        render_timed(renderer, cam.transform, timer)
+        render_once(cam)
         renderer.advance_rng()
     timer.reset()
 
     for i, pose in enumerate(poses):
         cam.set_pose(pose)
-        img, aux = render_timed(renderer, cam.transform, timer)
+        img, aux = render_once(cam)
         renderer.advance_rng()
         if not out_dir:
             continue

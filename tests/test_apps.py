@@ -314,3 +314,27 @@ def test_render_with_probe_and_grid():
     assert np.isfinite(img).all()
     # grid wireframe must darken some background pixels (blue lines)
     assert (img[..., 2] != img[..., 0]).any() or (img[..., :3] < 1).any()
+
+
+def test_headless_with_drawlist_and_grid(tmp_path):
+    from rt_octree_tpu.apps.headless import run
+    tree = synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4)
+    tree_path = str(tmp_path / "tree.npz")
+    synthetic.save_npz(tree, tree_path)
+    poses = {"camera_angle_x": 0.8, "frames": [
+        {"file_path": "./test/r_0",
+         "transform_matrix": Camera().transform.tolist() + [[0, 0, 0, 1]]}]}
+    poses_path = str(tmp_path / "transforms_test.json")
+    with open(poses_path, "w") as f:
+        json.dump(poses, f)
+    dl = str(tmp_path / "d.draw.npz")
+    np.savez_compressed(dl, marker="cube",
+                        marker__color=np.array([0.9, 0.1, 0.1]),
+                        marker__scale=0.4)
+    out_dir = str(tmp_path / "out")
+    rc = run([tree_path, poses_path, "-o", out_dir, "-w", "16",
+              "--height", "16", "--spp", "1", "--warmup", "0",
+              "--lut_levels", "2", "--draw", dl, "--grid", "1",
+              "--probe", "0,0,0.6"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "r_0.png"))
