@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..io.n3tree import BasisFormat, N3Tree
+from ..io.n3tree import N3Tree
 from ..utils.rng import Pcg32
 from .camera import Camera
 from .options import RenderOptions

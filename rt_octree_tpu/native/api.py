@@ -8,7 +8,6 @@ in a deployment image).
 from __future__ import annotations
 
 import ctypes
-import os
 from typing import Optional
 
 import numpy as np

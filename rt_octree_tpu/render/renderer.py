@@ -34,8 +34,6 @@ from ..ops.traversal import (
     LUT_DEPTH_SENTINEL, LUT_PTR_BITS, DeviceTree, tree_query_full)
 from ..utils.rng import Pcg32, pcg32_uniforms_range
 
-FLT_MAX = float(np.finfo(np.float32).max)
-
 
 class FrozenOptions(typing.NamedTuple):
     """Hashable static snapshot of RenderOptions for jit specialization."""
@@ -246,7 +244,7 @@ def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
 
 
 def _march_loop(tree, opt, spp, consts, state, steps: int,
-                unroll: int = 1, brick: bool = False):
+                unroll: int = 1, brick: bool = False, t_in: int = 4):
     """While-march with optional K-step unrolling (fewer cond evaluations
     and loop round-trips; the tail phases are latency-bound per round)."""
     if steps <= 0:
@@ -260,8 +258,8 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
     def body(sv):
         step, st = sv
         if use_brick:
-            st = _march_body_brick(tree, opt, spp, consts, st, t_in=4)
-            return step + 4, st
+            st = _march_body_brick(tree, opt, spp, consts, st, t_in=t_in)
+            return step + t_in, st
         for _ in range(unroll):
             st = _march_body(tree, opt, spp, consts, st)
         return step + unroll, st
@@ -374,7 +372,8 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
     if last:
         steps = max_steps
     state = _march_loop(tree, opt, spp, consts, state, steps,
-                        unroll=4 if last else 1, brick=brick)
+                        unroll=4 if last else 1, brick=brick,
+                        t_in=8 if last else 4)
     if last:
         return state[5], state[6]
 
