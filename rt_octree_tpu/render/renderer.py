@@ -372,8 +372,7 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
     if last:
         steps = max_steps
     state = _march_loop(tree, opt, spp, consts, state, steps,
-                        unroll=4 if last else 1, brick=brick,
-                        t_in=8 if last else 4)
+                        unroll=4 if last else 1, brick=brick)
     if last:
         return state[5], state[6]
 
