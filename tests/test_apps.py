@@ -338,3 +338,68 @@ def test_headless_with_drawlist_and_grid(tmp_path):
               "--probe", "0,0,0.6"])
     assert rc == 0
     assert os.path.exists(os.path.join(out_dir, "r_0.png"))
+
+
+def test_train_export_render_roundtrip(tmp_path):
+    """The full contract loop: render buffers -> train denoiser ->
+    compact export -> headless render consumes the artifact."""
+    import imageio.v2 as imageio
+    from rt_octree_tpu.apps.headless import run
+    from rt_octree_tpu.train.config import parse_args
+    from rt_octree_tpu.train.dataset import BlenderDataset, DatasetConfig
+    from rt_octree_tpu.train.logger import BaseLogger
+    from rt_octree_tpu.train.runner import Runner
+
+    # scene + poses
+    tree = synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4)
+    tree_path = str(tmp_path / "tree.npz")
+    synthetic.save_npz(tree, tree_path)
+    frames = [{"file_path": f"./test/r_{i}",
+               "transform_matrix": Camera().transform.tolist() +
+               [[0, 0, 0, 1]]} for i in range(2)]
+    meta = {"camera_angle_x": 0.8, "frames": frames}
+    data_dir = tmp_path / "scene"
+    for split in ("train", "test"):
+        os.makedirs(data_dir / split, exist_ok=True)
+        with open(data_dir / f"transforms_{split}.json", "w") as f:
+            json.dump(meta, f)
+
+    # 1) dump aux buffers via the CLI (the --write_buffer protocol)
+    for split in ("train", "test"):
+        rc = run([tree_path, str(data_dir / f"transforms_{split}.json"),
+                  "-o", str(data_dir / "spp_2" / split), "--write_buffer",
+                  "-w", "20", "--height", "20", "--spp", "2",
+                  "--warmup", "0", "--lut_levels", "2"])
+        assert rc == 0
+        # GT images (use the clean-ish render itself as stand-in GT)
+        for i in range(2):
+            buf = np.fromfile(
+                data_dir / "spp_2" / split / f"buf_r_{i}.bin",
+                dtype=np.float32).reshape(8, 20, 20)
+            img = (np.clip(buf[:3].transpose(1, 2, 0), 0, 1) * 255
+                   ).astype(np.uint8)
+            imageio.imwrite(data_dir / split / f"r_{i}.png", img)
+
+    # 2) train two epochs + export
+    args = parse_args([
+        "--task", "train", "--data_dir", str(data_dir),
+        "--logs_root", str(tmp_path / "logs"), "--exp_name", "e2e",
+        "--dataset_type", "blender", "--spp", "2", "--nx", "2", "--ny", "2",
+        "--mid_channels", "8", "--num_layers", "2", "--num_branches", "2",
+        "--kernel_levels", "2", "--in_channels", "8", "--lr", "0.001",
+        "--epochs", "2", "--batch_size", "4", "--i_save", "2",
+        "--i_test", "100"])
+    ds = BlenderDataset(DatasetConfig(
+        data_dir=str(data_dir), dataset_type="blender", spp=2, nx=2, ny=2))
+    Runner(args, dataset=ds, logger=BaseLogger(args)).train()
+    gnet = os.path.join(args.work_dir, "ts_000002.gnet")
+    assert os.path.exists(gnet)
+
+    # 3) render with the trained denoiser through the CLI
+    out_dir = str(tmp_path / "final")
+    rc = run([tree_path, str(data_dir / "transforms_test.json"),
+              "-o", out_dir, "-w", "20", "--height", "20", "--spp", "2",
+              "--warmup", "0", "--lut_levels", "2", "--gnet", gnet])
+    assert rc == 0
+    img = imageio.imread(os.path.join(out_dir, "r_0.png"))
+    assert img.shape[:2] == (20, 20)
