@@ -79,6 +79,38 @@ def render_rays_sharded(mesh: Mesh, tree, dirs, vdirs, cens, uniforms,
                   dst)
 
 
+def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
+                                fx: float, fy: float, opt: FrozenOptions,
+                                inc: int = 3, max_steps: int = 2048):
+    """Whole-frame renderer with rays sharded over the mesh.
+
+    Ray generation, PCG32 sampling, the march, shading, compositing and
+    aux assembly all run SPMD; XLA keeps per-shard work local and only
+    all-gathers at the [8,H,W]/[H,W,4] outputs.  The per-frame host
+    traffic is the 3x4 pose and the RNG state (~60 bytes)."""
+    from ..render.renderer import _render_noisy
+
+    repl = NamedSharding(mesh, P())
+    img_sharding = NamedSharding(mesh, P(("dp", "sp"), None, None))
+    aux_sharding = NamedSharding(mesh, P(None, ("dp", "sp"), None))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(None, repl, repl, repl),
+        out_shardings=(img_sharding, aux_sharding))
+    def frame(tree_arrays, transform, state_hi, state_lo):
+        # non-compacting schedule: wavefront compaction's global nonzero
+        # would force cross-shard gathers; per-shard full-width marching
+        # keeps all traversal traffic local to each chip
+        return _render_noisy(
+            tree_arrays, transform, state_hi, state_lo, width=width,
+            height=height, fx=fx, fy=fy, opt=opt, n_chunks=1,
+            max_steps=max_steps, inc=inc, schedule=((max_steps, 1),))
+
+    tree = jax.device_put(tree, repl)
+    return functools.partial(frame, tree)
+
+
 # ---------------------------------------------------------------------------
 # sharded training
 # ---------------------------------------------------------------------------

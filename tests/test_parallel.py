@@ -59,3 +59,31 @@ def test_sharded_training_matches_single_device():
     loss_single = loss_of(params)
     np.testing.assert_allclose(float(loss_sharded), float(loss_single),
                                rtol=2e-5)
+
+
+def test_sharded_frame_renderer_matches_single():
+    import jax.numpy as jnp
+    from rt_octree_tpu.core.camera import Camera
+    from rt_octree_tpu.core.options import RenderOptions
+    from rt_octree_tpu.io import synthetic
+    from rt_octree_tpu.ops.traversal import upload_tree
+    from rt_octree_tpu.parallel.mesh import make_mesh, make_sharded_frame_renderer
+    from rt_octree_tpu.render.renderer import FrozenOptions, Renderer
+    from rt_octree_tpu.utils.rng import Pcg32
+
+    tree = synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4)
+    dt = upload_tree(tree, lut_levels=0, brick=False)
+    cam = Camera(width=16, height=16, fx=30.0, fy=30.0)
+    opt = RenderOptions(spp=2, denoise=False)
+    mesh = make_mesh(8)
+    frame = make_sharded_frame_renderer(
+        mesh, dt, 16, 16, 30.0, 30.0, FrozenOptions.from_options(opt),
+        max_steps=256)
+    rng = Pcg32(20230418)
+    img, aux = frame(jnp.asarray(cam.transform),
+                     jnp.uint32(rng.state >> 32),
+                     jnp.uint32(rng.state & 0xFFFFFFFF))
+    r = Renderer(dt, 16, 16, 30.0, 30.0, options=opt, n_chunks=1)
+    img1, aux1 = r.render(cam.transform)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(aux), np.asarray(aux1), atol=4e-5)
