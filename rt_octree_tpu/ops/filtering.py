@@ -20,9 +20,15 @@ TPU redesign -- two implementations with identical math:
   stabilizer, so instead of a per-pixel window max we subtract one global
   max and compute num/den as *separable box sums* via 2 cumulative sums
   per level -- O(1) in kernel width instead of O(K^2), which is what makes
-  the op VPU-bound instead of HBM-bound on TPU.  Safe whenever the
-  guidance dynamic range stays within float32 exp range (~87 nats; network
-  outputs are orders of magnitude smaller).
+  the op VPU-bound instead of HBM-bound on TPU.
+
+  The global stabilizer is only safe while every window keeps at least one
+  logit within float32 exp range of the global max (~87 nats); a trained
+  network's guidance range is unbounded, so the fast path carries a
+  *runtime guard*: if ``global_max - min(window_max)`` exceeds
+  ``FAST_SAFE_RANGE`` on any level, a ``lax.cond`` falls back to the exact
+  per-window-max path for that frame.  Exactness is never traded for
+  speed.
 """
 
 from __future__ import annotations
@@ -32,10 +38,13 @@ import jax.numpy as jnp
 
 
 def _window_max(g: jnp.ndarray, support: int) -> jnp.ndarray:
-    """Per-pixel (2s+1)^2 window max with -inf outside the image."""
+    """Per-pixel (2s+1)^2 window max with -inf outside the image
+    (separable: two 1-D max passes)."""
     K = 2 * support + 1
-    return jax.lax.reduce_window(
-        g, -jnp.inf, jax.lax.max, (K, K), (1, 1), "SAME")
+    g = jax.lax.reduce_window(g, -jnp.inf, jax.lax.max, (K, 1), (1, 1),
+                              "SAME")
+    return jax.lax.reduce_window(g, -jnp.inf, jax.lax.max, (1, K), (1, 1),
+                                 "SAME")
 
 
 def _level_exact(img_rgb: jnp.ndarray, guidance: jnp.ndarray, support: int):
@@ -60,13 +69,20 @@ def _level_exact(img_rgb: jnp.ndarray, guidance: jnp.ndarray, support: int):
 
 def _box_sum_1d(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
     """(2s+1) running sum along ``axis`` treating outside as zero:
-    out[i] = sum_{j=max(i-s,0)..min(i+s,n-1)} x[j]."""
+    out[i] = sum_{j=max(i-s,0)..min(i+s,n-1)} x[j].
+
+    Implemented as 2s+1 shifted adds rather than a cumsum difference: the
+    cumsum form loses ~eps*exp(logit gap) absolute precision to
+    cancellation against distant large terms, while shifted adds keep the
+    num/den ratio exact to ~K^2*eps for any guidance scale (the global
+    stabilizer factor cancels)."""
     x = jnp.moveaxis(x, axis, 0)
-    c = jnp.cumsum(x, axis=0)
-    zeros = jnp.zeros((s + 1,) + x.shape[1:], x.dtype)
-    tail = jnp.broadcast_to(c[-1:], (s,) + x.shape[1:])
-    cc = jnp.concatenate([zeros, c, tail], axis=0)
-    out = cc[2 * s + 1:] - cc[:-(2 * s + 1)]
+    n = x.shape[0]
+    pad = [(s, s)] + [(0, 0)] * (x.ndim - 1)
+    xp = jnp.pad(x, pad)
+    out = xp[0:n]
+    for k in range(1, 2 * s + 1):
+        out = out + xp[k:k + n]
     return jnp.moveaxis(out, 0, axis)
 
 
@@ -82,6 +98,34 @@ def _level_fast(weighted_img: jnp.ndarray, expg: jnp.ndarray, support: int):
     return num / den[..., None]
 
 
+# largest (global max - window max) gap, in nats, at which the global
+# stabilizer still leaves every window a representable f32 logit.  exp
+# flushes below ~exp(-87); 60 keeps ~1e-12 of headroom for the box sums.
+FAST_SAFE_RANGE = 60.0
+
+
+def _filter_all_exact(weight_map, guidance_map, rgb_in):
+    out = jnp.zeros_like(rgb_in)
+    for l in range(weight_map.shape[0]):
+        f = _level_exact(rgb_in, guidance_map[l], l + 1)
+        out = out + weight_map[l][..., None] * f
+    return out
+
+
+def _filter_all_fast(weight_map, guidance_map, rgb_in):
+    # one global stabilizer per level keeps softmax invariant;
+    # stop_gradient mirrors the reference's constant-max backward
+    gmax = jax.lax.stop_gradient(
+        jnp.max(guidance_map, axis=(1, 2), keepdims=True))
+    expg = jnp.exp(guidance_map - gmax)  # [L, H, W]
+    out = jnp.zeros_like(rgb_in)
+    for l in range(weight_map.shape[0]):
+        e = expg[l]
+        f = _level_fast(rgb_in * e[..., None], e, l + 1)
+        out = out + weight_map[l][..., None] * f
+    return out
+
+
 def guided_filter(weight_map: jnp.ndarray, guidance_map: jnp.ndarray,
                   img_in: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
     """Full multi-level filter.
@@ -91,21 +135,21 @@ def guided_filter(weight_map: jnp.ndarray, guidance_map: jnp.ndarray,
     """
     L = weight_map.shape[0]
     rgb_in = img_in[..., :3]
-    out = jnp.zeros_like(rgb_in)
     if exact:
-        for l in range(L):
-            f = _level_exact(rgb_in, guidance_map[l], l + 1)
-            out = out + weight_map[l][..., None] * f
+        out = _filter_all_exact(weight_map, guidance_map, rgb_in)
     else:
-        # one global stabilizer per level keeps softmax invariant;
-        # stop_gradient mirrors the reference's constant-max backward
-        gmax = jax.lax.stop_gradient(
-            jnp.max(guidance_map, axis=(1, 2), keepdims=True))
-        expg = jnp.exp(guidance_map - gmax)  # [L, H, W]
+        # runtime guard: fast path only while the global stabilizer keeps
+        # every window's dominant logit representable (see module doc)
+        worst = jnp.float32(0.0)
         for l in range(L):
-            e = expg[l]
-            f = _level_fast(rgb_in * e[..., None], e, l + 1)
-            out = out + weight_map[l][..., None] * f
+            wmax = _window_max(guidance_map[l], l + 1)
+            gap = (jnp.max(guidance_map[l]) - jnp.min(wmax))
+            worst = jnp.maximum(worst, gap)
+        out = jax.lax.cond(
+            worst < FAST_SAFE_RANGE,
+            lambda args: _filter_all_fast(*args),
+            lambda args: _filter_all_exact(*args),
+            (weight_map, guidance_map, rgb_in))
     alpha = jnp.ones(out.shape[:-1] + (1,), out.dtype)
     return jnp.concatenate([out, alpha], axis=-1)
 

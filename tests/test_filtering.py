@@ -99,6 +99,36 @@ def test_gradient_weight_analytic(small_inputs):
         np.testing.assert_allclose(gw[l], f_l.sum(-1), atol=1e-4)
 
 
+def test_extreme_range_falls_back_to_exact(small_inputs):
+    """A trained network's guidance range is unbounded: with a deep 'hole'
+    (>> 87 nats below the global max) the global-stabilizer fast path
+    would produce NaNs; the runtime guard must route such frames through
+    the exact path and still match the naive oracle."""
+    weight, guidance, img = small_inputs
+    g = np.asarray(guidance).copy()
+    g[:, :4, :] -= 500.0  # entire windows live ~500 nats below the max
+    g[0, 8, 6] += 300.0   # and one spike dominates the global max
+    g = jnp.asarray(g)
+    out = np.asarray(guided_filter(weight, g, img, exact=False))
+    assert np.isfinite(out).all()
+    ref = naive_filter(np.asarray(weight), np.asarray(g), np.asarray(img))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+    # gradients stay finite through the cond fallback too
+    gg = jax.grad(lambda gm: jnp.sum(
+        guided_filter(weight, gm, img, exact=False)[..., :3] ** 2))(g)
+    assert np.isfinite(np.asarray(gg)).all()
+
+
+def test_trained_like_guidance_stays_fast(small_inputs):
+    """Realistic trained-scale guidance (range ~20 nats, smooth) must keep
+    the fast separable path and agree with the oracle."""
+    weight, guidance, img = small_inputs
+    g = guidance * 5.0  # ~20 nat spread: large but within FAST_SAFE_RANGE
+    out = np.asarray(guided_filter(weight, g, img, exact=False))
+    ref = naive_filter(np.asarray(weight), np.asarray(g), np.asarray(img))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
 def test_batched(small_inputs):
     weight, guidance, img = small_inputs
     wb = jnp.stack([weight, weight * 0 + 1.0 / weight.shape[0]])
