@@ -81,31 +81,69 @@ def render_rays_sharded(mesh: Mesh, tree, dirs, vdirs, cens, uniforms,
 
 def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
                                 fx: float, fy: float, opt: FrozenOptions,
-                                inc: int = 3, max_steps: int = 2048):
+                                inc: int = 3, max_steps: int = 2048,
+                                schedule=None):
     """Whole-frame renderer with rays sharded over the mesh.
 
-    Ray generation, PCG32 sampling, the march, shading, compositing and
-    aux assembly all run SPMD; XLA keeps per-shard work local and only
-    all-gathers at the [8,H,W]/[H,W,4] outputs.  The per-frame host
-    traffic is the 3x4 pose and the RNG state (~60 bytes)."""
-    from ..render.renderer import _render_noisy
+    Ray generation, PCG32 sampling, compositing and aux assembly run SPMD
+    under jit (elementwise; XLA keeps them local); the march itself runs
+    inside ``shard_map`` so every chip executes the full *compacting*
+    wavefront schedule on its local ray shard -- the single-chip 3x
+    optimization survives multi-chip, because the nonzero/pack of each
+    shard stays shard-local instead of becoming a global cross-chip
+    gather.  Outputs all-gather at the [H,W,4]/[8,H,W] boundary over ICI.
+    The per-frame host traffic is the 3x4 pose and RNG state (~60B)."""
+    from ..render.renderer import (
+        DEFAULT_SCHEDULE, device_camera_rays, maybe_world2ndc,
+        rodrigues_jnp, trace_rays)
+    from ..utils.rng import pcg32_uniforms_range
 
+    if schedule is None:
+        schedule = DEFAULT_SCHEDULE
     repl = NamedSharding(mesh, P())
-    img_sharding = NamedSharding(mesh, P(("dp", "sp"), None, None))
-    aux_sharding = NamedSharding(mesh, P(None, ("dp", "sp"), None))
+    ray_axes = ("dp", "sp")
+    img_sharding = NamedSharding(mesh, P(ray_axes, None, None))
+    aux_sharding = NamedSharding(mesh, P(None, ray_axes, None))
+    R = width * height
+    spp = opt.spp
+
+    def local_trace(tree_arrays, d, v, c, dst, tm):
+        return trace_rays(tree_arrays, d, v, c, dst, opt, tmax_bg=tm,
+                          max_steps=max_steps, schedule=schedule)
+
+    # check_vma off: the march seeds its while_loop carry with local zeros
+    # (unvarying) that join varying per-shard values; there are no
+    # collectives inside, so the replication check has nothing to protect.
+    sharded_trace = jax.shard_map(
+        local_trace, mesh=mesh,
+        in_specs=(P(), P(ray_axes), P(ray_axes), P(ray_axes), P(ray_axes),
+                  P(ray_axes)),
+        out_specs=P(ray_axes), check_vma=False)
 
     @functools.partial(
         jax.jit,
         in_shardings=(None, repl, repl, repl),
         out_shardings=(img_sharding, aux_sharding))
     def frame(tree_arrays, transform, state_hi, state_lo):
-        # non-compacting schedule: wavefront compaction's global nonzero
-        # would force cross-shard gathers; per-shard full-width marching
-        # keeps all traversal traffic local to each chip
-        return _render_noisy(
-            tree_arrays, transform, state_hi, state_lo, width=width,
-            height=height, fx=fx, fy=fy, opt=opt, n_chunks=1,
-            max_steps=max_steps, inc=inc, schedule=((max_steps, 1),))
+        dirs, cens = device_camera_rays(transform, width, height, fx, fy)
+        vdirs = rodrigues_jnp(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
+        wdirs, wcens = maybe_world2ndc(tree_arrays, dirs, cens)
+        uniforms = pcg32_uniforms_range(
+            state_hi, state_lo, n=R * spp, inc=inc).reshape(R, spp)
+        dst = make_sorted_dst(uniforms)
+        tmax_bg = jnp.full((R,), 1e9, jnp.float32)
+
+        out = sharded_trace(tree_arrays, wdirs, vdirs, wcens, dst, tmax_bg)
+
+        nalpha = 1.0 - out[:, 3]
+        rgb = out[:, :3] + opt.background_brightness * nalpha[:, None]
+        out = out.at[:, :3].set(rgb)
+        aux = jnp.concatenate([out, out * out], axis=-1)
+        aux = aux.T.reshape(8, height, width)
+        img = jnp.concatenate(
+            [rgb, jnp.ones((R, 1), jnp.float32)], axis=-1).reshape(
+            height, width, 4)
+        return img, aux
 
     tree = jax.device_put(tree, repl)
     return functools.partial(frame, tree)
