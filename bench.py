@@ -44,6 +44,33 @@ def get_tree():
     return tree
 
 
+def canary(tree, dt, size=24, spp=2, atol=1e-4):
+    """Assert a small crop matches the NumPy oracle before timing."""
+    import numpy as np
+    from rt_octree_tpu.core.camera import Camera
+    from rt_octree_tpu.core.options import RenderOptions
+    from rt_octree_tpu.render.renderer import Renderer
+
+    cam = Camera(width=size, height=size, fx=40.0, fy=40.0)
+    opt = RenderOptions(spp=spp, denoise=False)
+    r = Renderer(dt, size, size, cam.fx, cam.fy, options=opt)
+    img = np.asarray(r.render(cam.transform)[0])
+
+    ref_path = os.path.join(CACHE, f"canary_d{DEPTH}_s{size}_spp{spp}.npy")
+    if os.path.exists(ref_path):
+        ref = np.load(ref_path)
+    else:
+        from rt_octree_tpu.core.oracle import render_frame_oracle
+        from rt_octree_tpu.utils.rng import Pcg32
+        ref, _ = render_frame_oracle(tree, cam, opt, Pcg32(20230418))
+        np.save(ref_path, ref)
+    err = np.abs(img - ref).max()
+    assert err <= atol, (
+        f"TPU numerics canary FAILED: max |img - oracle| = {err:.2e} > "
+        f"{atol:.0e} -- the device march diverged from the f32 oracle")
+    print(f"[bench] numerics canary ok (max err {err:.2e})", file=sys.stderr)
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -78,19 +105,34 @@ def main():
 
     def frame():
         img, aux = r.render(cam.transform)
-        float(checksum(img))
         r.advance_rng()
+        return img
 
     t0 = time.time()
-    frame()
+    float(checksum(frame()))
     print(f"[bench] compile+first frame: {time.time()-t0:.1f}s",
           file=sys.stderr)
-    for _ in range(WARMUP):
-        frame()
 
+    # --- TPU-numerics canary: the march must match the NumPy oracle on a
+    # small crop at a fixed pose (CPU tests can't see TPU-only drift such
+    # as bf16 creeping into the hot path) ---
+    canary(tree, dt)
+
+    for _ in range(WARMUP):
+        float(checksum(frame()))
+
+    # Timed protocol: frames are dispatched back-to-back and every frame's
+    # checksum is chained on device; ONE readback at the end forces the
+    # whole pipeline.  This measures device time per frame like the
+    # reference's cudaEvent protocol (render_context.hpp:122-213) --
+    # per-frame host syncs through the axon tunnel would otherwise add a
+    # constant ~30 ms of pure link latency to every frame.
     t0 = time.time()
+    acc = None
     for _ in range(FRAMES):
-        frame()
+        c = checksum(frame())
+        acc = c if acc is None else acc + c
+    float(acc)
     dt_frame = (time.time() - t0) / FRAMES
     fps = 1.0 / dt_frame
     print(f"[bench] {dt_frame*1000:.1f} ms/frame", file=sys.stderr)

@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup", type=int, default=100,
                    help="warm-up frame count (reference uses 100)")
     p.add_argument("--lut_levels", type=int, default=7)
+    p.add_argument("--estimator", choices=("rt", "classic"), default=None,
+                   help="override estimator: rt (regular tracking) or "
+                        "classic (exponential transmittance, rt.frag)")
     return p
 
 
@@ -125,6 +128,8 @@ def run(argv: Optional[Sequence[str]] = None) -> int:
             stop_thresh=args.stop_thresh, sigma_thresh=args.sigma_thresh)
     if args.spp is not None:
         options.spp = args.spp
+    if args.estimator is not None:
+        options.estimator = args.estimator
     if args.no_denoise or not args.gnet:
         options.denoise = False
     if args.grid is not None:

@@ -40,17 +40,27 @@ class RenderOptions:
     denoise: bool = True
     spp: int = 1
 
+    # Estimator selection (ours; the reference switches by *backend*):
+    #  "rt"      -- batched regular tracking (rt_core.cuh:195-332)
+    #  "classic" -- exponential-transmittance marcher with stop_thresh
+    #               early-out (shaders/rt.frag:222-327) -- the only
+    #               consumer of stop_thresh, and the converged/noise-free
+    #               ground-truth generator for denoiser evaluation
+    estimator: str = "rt"
+
     SPP_DEFAULT = 4
 
     _JSON_FIELDS = (
         "step_size", "sigma_thresh", "stop_thresh", "background_brightness",
         "show_grid", "grid_max_depth", "enable_probe", "probe",
-        "probe_disp_size", "denoise", "spp")
+        "probe_disp_size", "denoise", "spp", "estimator")
 
     def validate(self) -> None:
         if self.spp not in SPP_ALLOWED:
             raise ValueError(
                 f"spp == {self.spp} not supported (allowed: {SPP_ALLOWED})")
+        if self.estimator not in ("rt", "classic"):
+            raise ValueError(f"unknown estimator {self.estimator!r}")
 
     def to_json_dict(self) -> dict[str, Any]:
         out = {}
@@ -81,4 +91,4 @@ class RenderOptions:
     def static_key(self) -> tuple:
         return (self.step_size, self.sigma_thresh, self.background_brightness,
                 tuple(self.render_bbox), tuple(self.basis_minmax),
-                tuple(self.rot_dirs), self.denoise, self.spp)
+                tuple(self.rot_dirs), self.denoise, self.spp, self.estimator)

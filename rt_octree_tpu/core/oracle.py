@@ -141,6 +141,85 @@ def trace_ray(tree: N3Tree, dir_world: np.ndarray, vdir: np.ndarray,
     return out
 
 
+def trace_ray_classic(tree: N3Tree, dir_world: np.ndarray, vdir: np.ndarray,
+                      cen: np.ndarray, opt: RenderOptions,
+                      tmax_bg: float) -> np.ndarray:
+    """Classic exponential-transmittance marcher (shaders/rt.frag:222-327).
+
+    Returns out[4] = accumulated rgb (pre-background) + alpha, where
+    alpha = 1 - remaining transmittance; on a stop_thresh early-out the
+    color is renormalized by 1/(1-T) and alpha set to 1 (rt.frag:313-318),
+    so ``rgb + (1-alpha)*bg`` reproduces the shader's final color."""
+    out = np.zeros(4, np.float32)
+    d = dir_world.astype(np.float32) * tree.scale
+    delta_scale = 1.0 / np.linalg.norm(d)
+    d = d * delta_scale
+    tmax_bg = tmax_bg / delta_scale
+
+    invdir = 1.0 / (d + 1e-9)
+    tmin, tmax = _dda_world(cen, invdir, np.asarray(opt.render_bbox))
+    tmax = min(tmax, tmax_bg)
+    if tmax < 0 or tmin > tmax:
+        return out
+
+    basis_dim = tree.data_format.basis_dim
+    basis_fn = eval_basis_np(tree, vdir).copy()
+    basis_fn[:opt.basis_minmax[0]] = 0.0
+    basis_fn[opt.basis_minmax[1] + 1:] = 0.0
+
+    light = 1.0
+    t = tmin
+    rgb = np.zeros(3, np.float32)
+    while t < tmax:
+        pos = cen + t * d
+        sub_ptr, cube_sz, _local = query_single_from_root(tree, pos)
+        t_subcube = _dda_unit(_local, invdir) / cube_sz
+        delta_t = t_subcube + opt.step_size
+        sigma = float(tree.data[sub_ptr, tree.data_dim - 1])
+        if sigma > opt.sigma_thresh:
+            att = min(np.exp(-delta_t * delta_scale * sigma), 1.0)
+            weight = light * (1.0 - att)
+            vals = tree.data[sub_ptr].astype(np.float32)
+            if basis_dim >= 0:
+                for c in range(3):
+                    tmp = float(basis_fn[:basis_dim] @
+                                vals[c * basis_dim:(c + 1) * basis_dim])
+                    rgb[c] += weight / (1.0 + np.exp(-tmp))
+            else:
+                rgb += weight * vals[:3]
+            light *= att
+            if light < opt.stop_thresh:
+                rgb *= 1.0 / (1.0 - light)
+                light = 0.0
+                break
+        t += delta_t
+    out[:3] = rgb
+    out[3] = 1.0 - light
+    return out
+
+
+def render_frame_classic_oracle(tree: N3Tree, cam: Camera,
+                                opt: RenderOptions) -> np.ndarray:
+    """Deterministic classic-marcher frame, img [H,W,4] (rt.frag main)."""
+    from .camera import camera_rays, rodrigues
+
+    W, H = cam.width, cam.height
+    dirs, origin = camera_rays(cam)
+    img = np.zeros((H, W, 4), np.float32)
+    rot = np.asarray(opt.rot_dirs, np.float32)
+    for idx in range(H * W):
+        x, y = idx % W, idx // W
+        d = dirs[idx].copy()
+        cen = origin.copy()
+        vdir = rodrigues(rot, d[None])[0]
+        d, cen = maybe_world2ndc(tree, d, cen)
+        cen = tree.offset + tree.scale * cen
+        out = trace_ray_classic(tree, d, vdir, cen, opt, 1e9)
+        img[y, x, :3] = out[:3] + opt.background_brightness * (1.0 - out[3])
+        img[y, x, 3] = 1.0
+    return img
+
+
 def maybe_world2ndc(tree: N3Tree, dir, cen):
     """LLFF NDC warp (volrend.cu:35-56)."""
     if not tree.use_ndc or tree.ndc_width <= 0:

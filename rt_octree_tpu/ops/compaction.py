@@ -1,0 +1,44 @@
+"""Fast stream compaction (packed index extraction) for the wavefront march.
+
+``jnp.nonzero(mask, size=k)`` lowers to a full-length cumsum on TPU, which
+XLA implements as O(log n) shifted-add passes over the whole array -- the
+measured cost is ~7 ms at 640k and ~21 ms at 3.2M elements, dominating the
+march's compaction stages and the two-tier shade (tools/profile_march2.py).
+
+``fast_nonzero`` replaces it with a two-level scan: per-block (lane-width)
+counts, a tiny cumsum over block offsets, an in-block exclusive scan over
+the last axis (cheap: lanes), and one scatter of the active indices into
+their packed slots.  Semantics match jnp.nonzero(mask, size, fill_value):
+ascending active indices, padded with ``fill_value``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BLOCK = 512
+
+
+def fast_nonzero(mask: jax.Array, size: int, fill_value: int) -> jax.Array:
+    """Packed ascending indices of True entries, shape [size] int32.
+
+    Equivalent to ``jnp.nonzero(mask, size=size, fill_value=fill_value)[0]``
+    for 1-D boolean ``mask``.  Entries beyond ``size`` actives are dropped
+    (callers guard with a count check, as the march schedule does).
+    """
+    n = mask.shape[0]
+    if n % _BLOCK or n <= _BLOCK:
+        return jnp.nonzero(mask, size=size, fill_value=fill_value)[0]
+    m2 = mask.reshape(-1, _BLOCK)
+    mi = m2.astype(jnp.int32)
+    cnt = jnp.sum(mi, axis=1)  # [B]
+    offs = jnp.cumsum(cnt) - cnt  # [B] exclusive
+    within = jnp.cumsum(mi, axis=1) - mi  # [B, BLOCK] exclusive (lane scan)
+    pos = offs[:, None] + within  # [B, BLOCK]
+    # inactive lanes and overflow actives land in the sacrificial slot
+    pos = jnp.where(m2, jnp.minimum(pos, size), size).reshape(-1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
+    out = jnp.full((size + 1,), fill_value, jnp.int32)
+    out = out.at[pos].set(idx, mode="drop", unique_indices=False)
+    return out[:size]

@@ -27,6 +27,7 @@ import numpy as np
 
 from ..core.options import RenderOptions
 from ..io.n3tree import BasisFormat
+from ..ops.compaction import fast_nonzero
 from ..models.guidance_net import GuidanceNetCompact, GuidanceNetConfig
 from ..ops.filtering import guided_filter
 from ..ops.sh import eval_asg_basis, eval_sg_basis, eval_sh_basis
@@ -46,6 +47,7 @@ class FrozenOptions(typing.NamedTuple):
     rot_dirs: tuple
     denoise: bool
     spp: int
+    estimator: str = "rt"
 
     @staticmethod
     def from_options(opt: RenderOptions) -> "FrozenOptions":
@@ -59,6 +61,7 @@ class FrozenOptions(typing.NamedTuple):
             rot_dirs=tuple(opt.rot_dirs),
             denoise=bool(opt.denoise),
             spp=int(opt.spp),
+            estimator=str(getattr(opt, "estimator", "rt")),
         )
 
 
@@ -268,13 +271,38 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
     return out
 
 
-# Wavefront compaction schedule: (steps, width_divisor) stages.  Before
-# each stage the surviving rays are packed into R//divisor lanes (one
-# fused row gather); a stage with divisor 1 runs at full width.  The
-# divisors carry ~1.5x margin over measured survivor curves; overflow at
-# any stage falls back to finishing at the current width (exactness is
-# never traded).  The final stage runs to max_steps with 4x unrolling.
-DEFAULT_SCHEDULE = ((6, 1), (58, 3.5), (0, 24))
+# Wavefront compaction schedule: (steps, width_divisor, kind) stages.
+# ENTERING a stage, surviving rays are packed into R//divisor lanes (one
+# fused row gather via fast_nonzero); divisor <= 1 keeps the current
+# width.  ``kind`` picks the march body: "thin" (one 8B LUT row per leaf
+# step; right for empty space, where leaves are shallow and a 4^3 brick
+# would be exited after one step) or "brick" (one 512B 4x4x4 leaf-block
+# row, several exact steps per gather; right once survivors are grazing
+# the finely-subdivided shell).  Divisors carry ~1.2-1.4x margin over
+# measured survivor curves (tools/profile_march2.py); overflow at any
+# stage falls back to finishing at the current width (exactness is never
+# traded).  The final stage runs to max_steps.
+DEFAULT_SCHEDULE = (
+    (2, 1.5, "thin"),
+    (4, 2.4, "thin"),
+    (6, 3.6, "thin"),
+    (12, 5.0, "brick"),
+    (24, 9.0, "brick"),
+    (0, 30.0, "brick"),
+)
+
+
+def _normalize_schedule(schedule):
+    """Accept legacy (steps, divisor) pairs: stage 0 was full-width thin,
+    later stages brick (the round-1 convention)."""
+    out = []
+    for i, st in enumerate(schedule):
+        if len(st) == 2:
+            steps, div = st
+            out.append((steps, div, "thin" if i == 0 else "brick"))
+        else:
+            out.append(tuple(st))
+    return tuple(out)
 
 
 def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
@@ -359,47 +387,56 @@ def _unpack_bundle(row, spp):
 
 
 def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
-                    stage: int = 0):
-    """Run the compaction schedule; returns (leafs, cnts) at full width.
+                    base_width: Optional[int] = None):
+    """Run the compaction schedule; returns (leafs, cnts) at the incoming
+    width.
 
-    Stages after the first compaction use the brick body when available:
-    narrow widths are gather-latency-bound, exactly where the 4x4x4 block
-    fetch amortizes (full width would pay its 520B/ray bandwidth)."""
-    (steps, frac), rest = schedule[0], schedule[1:]
+    Each stage first compacts survivors into base_width//divisor lanes
+    (when the divisor shrinks the width and the survivor count fits), then
+    marches ``steps`` rounds with the stage's body kind.  A stage whose
+    survivor count overflows its cap falls back to finishing the whole
+    march at the current width -- slower, never wrong."""
+    schedule = _normalize_schedule(schedule)
+    (steps, frac, kind), rest = schedule[0], schedule[1:]
     R = state[0].shape[0]
-    brick = stage >= 1
+    if base_width is None:
+        base_width = R
+    brick = kind == "brick"
     last = not rest
     if last:
         steps = max_steps
-    state = _march_loop(tree, opt, spp, consts, state, steps,
-                        unroll=4 if last else 1, brick=brick)
-    if last:
-        return state[5], state[6]
 
-    cap = max(int(R // rest[0][1]), 1)
+    cap = max(int(base_width // frac), 1) if frac > 1 else R
+
+    def run_here(consts, state):
+        st = _march_loop(tree, opt, spp, consts, state, steps,
+                         unroll=4 if last else 1, brick=brick)
+        if last:
+            return st[5], st[6]
+        return _march_schedule(tree, opt, spp, consts, st, rest,
+                               max_steps, base_width)
+
     if cap >= R:
-        return _march_schedule(tree, opt, spp, consts, state, rest,
-                               max_steps, stage)
+        return run_here(consts, state)
+
     active = state[0]
     n_active = jnp.sum(active.astype(jnp.int32))
 
     def compacted(_):
-        idx = jnp.nonzero(active, size=cap, fill_value=R)[0]
+        idx = fast_nonzero(active, cap, R)
         valid = idx < R
         row = jnp.take(_pack_bundle(consts, state), idx, axis=0,
                        mode="fill", fill_value=0)
         c_consts, c_state = _unpack_bundle(row, spp)
         c_state = (c_state[0] & valid,) + c_state[1:]
-        c_leafs, c_cnts = _march_schedule(tree, opt, spp, c_consts,
-                                          c_state, rest, max_steps,
-                                          stage + 1)
+        c_leafs, c_cnts = run_here(c_consts, c_state)
         leafs = state[5].at[idx].set(c_leafs, mode="drop")
         cnts = state[6].at[idx].set(c_cnts, mode="drop")
         return leafs, cnts
 
     def full(_):
         st = _march_loop(tree, opt, spp, consts, state, max_steps,
-                         unroll=2, brick=stage >= 1)
+                         unroll=2, brick=brick)
         return st[5], st[6]
 
     return jax.lax.cond(n_active <= cap, compacted, full, None)
@@ -459,8 +496,7 @@ def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
 
     def two_tier(_):
         rgb = _leaf_rgb(tree, leafs[:, 0], basis) * w[:, 0:1]
-        flat = jnp.nonzero(extra_mask, size=cap,
-                           fill_value=R * (spp - 1))[0]
+        flat = fast_nonzero(extra_mask, cap, R * (spp - 1))
         ray = jnp.minimum(flat // (spp - 1), R - 1)
         slot = flat % (spp - 1) + 1
         leaf_e = jnp.take(leafs.reshape(-1),
@@ -492,6 +528,82 @@ def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
     return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
 
+def trace_rays_classic(tree: DeviceTree, dirs, vdirs, cens,
+                       opt, tmax_bg=None, max_steps: int = 8192,
+                       unroll: int = 2):
+    """Classic exponential-transmittance marcher over a ray batch
+    (shaders/rt.frag:222-327; the GL/WebGL fallback estimator).
+
+    Deterministic (no SPP sampling): per leaf step the transmittance decays
+    by exp(-delta*sigma) and the leaf color is accumulated with weight
+    T*(1-att); marching stops early once T < stop_thresh, renormalizing by
+    1/(1-T) -- this path is the one live consumer of ``stop_thresh``.
+    Returns out [R,4]: accumulated rgb (pre-background) + alpha = 1-T.
+
+    Used as the converged ground-truth generator for denoiser quality
+    evaluation (a noise-free estimate of the same integral the regular
+    tracker samples), and for config parity with the reference's shader
+    backend.  Full-width march with per-step shading -- a quality tool,
+    not the real-time path.
+    """
+    R = dirs.shape[0]
+    cen_t = tree.offset[None, :] + tree.scale[None, :] * cens
+    d_scaled = dirs * tree.scale[None, :]
+    delta_scale = 1.0 / jnp.linalg.norm(d_scaled, axis=-1)
+    d_t = d_scaled * delta_scale[:, None]
+    if tmax_bg is None:
+        tmax_bg = jnp.full((R,), 1e9, jnp.float32)
+    tmax_bg = tmax_bg * delta_scale
+
+    invdir = 1.0 / (d_t + 1e-9)
+    tmin, tmax = _dda_world(cen_t, invdir, opt.render_bbox)
+    tmax = jnp.minimum(tmax, tmax_bg)
+    hit = (tmax >= 0) & (tmin <= tmax)
+
+    basis = _eval_masked_basis(tree, vdirs, opt) if tree.basis_dim >= 0 \
+        else jnp.zeros((R, 0), jnp.float32)
+    sigma_thresh = jnp.float32(opt.sigma_thresh)
+    stop_thresh = jnp.float32(opt.stop_thresh)
+    step_size = jnp.float32(opt.step_size)
+
+    def one_step(st):
+        active, t, light, rgb = st
+        pos = cen_t + t[:, None] * d_t
+        sub_ptr, cube, local, sigma = tree_query_full(tree, pos,
+                                                      active=active)
+        t_sub = _dda_unit(local, invdir) / cube
+        delta_t = t_sub + step_size
+        has = (sigma > sigma_thresh) & active
+        att = jnp.minimum(jnp.exp(-delta_t * delta_scale * sigma), 1.0)
+        weight = jnp.where(has, light * (1.0 - att), 0.0)
+        leaf_rgb = _leaf_rgb(tree, jnp.where(has, sub_ptr, 0), basis)
+        rgb = rgb + weight[:, None] * leaf_rgb
+        light_new = jnp.where(has, light * att, light)
+        stop = has & (light_new < stop_thresh)
+        rgb = jnp.where(stop[:, None],
+                        rgb / (1.0 - light_new[:, None]), rgb)
+        light = jnp.where(stop, 0.0, light_new)
+        t = jnp.where(active, t + delta_t, t)
+        active = active & (t < tmax) & ~stop
+        return (active, t, light, rgb)
+
+    def cond(sv):
+        step, st = sv
+        return (step < max_steps) & jnp.any(st[0])
+
+    def body(sv):
+        step, st = sv
+        for _ in range(unroll):
+            st = one_step(st)
+        return step + unroll, st
+
+    state = (hit, tmin, jnp.ones(R, jnp.float32),
+             jnp.zeros((R, 3), jnp.float32))
+    _, (active, t, light, rgb) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state))
+    return jnp.concatenate([rgb, (1.0 - light)[:, None]], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # full frame
 # ---------------------------------------------------------------------------
@@ -520,9 +632,13 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
     vdirs = rodrigues_jnp(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
     wdirs, wcens = maybe_world2ndc(tree, dirs, cens)
 
-    uniforms = pcg32_uniforms_range(
-        state_hi, state_lo, n=R * spp, inc=inc).reshape(R, spp)
-    dst = make_sorted_dst(uniforms)
+    classic = getattr(opt, "estimator", "rt") == "classic"
+    if classic:
+        dst = jnp.zeros((R, spp), jnp.float32)  # unused: deterministic
+    else:
+        uniforms = pcg32_uniforms_range(
+            state_hi, state_lo, n=R * spp, inc=inc).reshape(R, spp)
+        dst = make_sorted_dst(uniforms)
 
     chunk = R // n_chunks
     tmax_bg = (jnp.minimum(mesh_depth, 1e9) if mesh_depth is not None
@@ -530,6 +646,9 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
 
     def render_chunk(args):
         cd, cv, cc, cdst, ctm = args
+        if classic:
+            return trace_rays_classic(tree, cd, cv, cc, opt, tmax_bg=ctm,
+                                      max_steps=max_steps)
         return trace_rays(tree, cd, cv, cc, cdst, opt, tmax_bg=ctm,
                           max_steps=max_steps, schedule=schedule)
 

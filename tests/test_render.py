@@ -211,3 +211,38 @@ def test_render_timed_phases(tree):
     # split-phase output must equal the fused path
     img2, _ = r.render(cam.transform)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img2), atol=1e-6)
+
+
+def test_classic_estimator_matches_oracle(tree):
+    """Classic exponential-transmittance marcher (rt.frag:222-327) vs its
+    scalar oracle; deterministic, so exact up to f32 reassociation."""
+    from rt_octree_tpu.core.oracle import render_frame_classic_oracle
+
+    cam = make_camera()
+    opt = RenderOptions(spp=1, denoise=False, estimator="classic",
+                        stop_thresh=1e-2)
+    dt = upload_tree(tree, lut_levels=3)
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt,
+                 n_chunks=2)
+    img, aux = r.render(cam.transform)
+    img = np.asarray(img)
+    img_ref = render_frame_classic_oracle(tree, cam, opt)
+    np.testing.assert_allclose(img, img_ref, atol=3e-5)
+    assert np.asarray(aux)[3].max() > 0.5
+
+
+def test_classic_stop_thresh_early_out(tree):
+    """stop_thresh must have a live semantic: with an aggressive threshold
+    rays terminate saturated (alpha == 1) where the volume is dense, and
+    the renormalized color still matches the oracle."""
+    from rt_octree_tpu.core.oracle import render_frame_classic_oracle
+
+    cam = make_camera(16, 16)
+    opt = RenderOptions(spp=1, denoise=False, estimator="classic",
+                        stop_thresh=0.5)
+    dt = upload_tree(tree, lut_levels=0)
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt)
+    img, aux = r.render(cam.transform)
+    img_ref = render_frame_classic_oracle(tree, cam, opt)
+    np.testing.assert_allclose(np.asarray(img), img_ref, atol=3e-5)
+    assert np.asarray(aux)[3].max() >= 1.0 - 1e-6

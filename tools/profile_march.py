@@ -105,7 +105,7 @@ def main():
 
     # ---- piece 2: fixed-round thin march at full width ----
     @functools.partial(jax.jit, static_argnames=("rounds", "brick"))
-    def march_n(pack, *, rounds: int, brick: bool):
+    def march_n(dt, pack, *, rounds: int, brick: bool):
         consts, state = make_consts_state(pack)
         def body(i, st):
             if brick:
@@ -114,21 +114,21 @@ def main():
         st = jax.lax.fori_loop(0, rounds, body, state)
         return st[6]
 
-    t2 = timeit(functools.partial(march_n, rounds=2, brick=False), pack,
+    t2 = timeit(functools.partial(march_n, rounds=2, brick=False), dt, pack,
                 label="thin march 2 rounds @640k")
-    t8 = timeit(functools.partial(march_n, rounds=8, brick=False), pack,
+    t8 = timeit(functools.partial(march_n, rounds=8, brick=False), dt, pack,
                 label="thin march 8 rounds @640k")
     print(f"    -> per thin round @640k: {(t8-t2)/6*1e3:.2f} ms", flush=True)
-    tb2 = timeit(functools.partial(march_n, rounds=2, brick=True), pack,
+    tb2 = timeit(functools.partial(march_n, rounds=2, brick=True), dt, pack,
                  label="brick march 2 rounds @640k")
-    tb8 = timeit(functools.partial(march_n, rounds=8, brick=True), pack,
+    tb8 = timeit(functools.partial(march_n, rounds=8, brick=True), dt, pack,
                  label="brick march 8 rounds @640k")
     print(f"    -> per brick round @640k: {(tb8-tb2)/6*1e3:.2f} ms",
           flush=True)
 
     # ---- piece 3: true round counts under the real while schedule ----
     @functools.partial(jax.jit, static_argnames=("steps", "brick"))
-    def march_while_counted(pack, *, steps: int, brick: bool):
+    def march_while_counted(dt, pack, *, steps: int, brick: bool):
         consts, state = make_consts_state(pack)
 
         def cond(sv):
@@ -148,17 +148,17 @@ def main():
         return jnp.stack([i, n_alive])
 
     for steps in (6, 16, 64, 256, 2048):
-        out = np.asarray(march_while_counted(pack, steps=steps, brick=False))
+        out = np.asarray(march_while_counted(dt, pack, steps=steps, brick=False))
         print(f"  thin while cap={steps:5d}: rounds={out[0]:5d} "
               f"alive_after={out[1]}", flush=True)
     for steps in (4, 16, 64, 512):
-        out = np.asarray(march_while_counted(pack, steps=steps, brick=True))
+        out = np.asarray(march_while_counted(dt, pack, steps=steps, brick=True))
         print(f"  brick while cap={steps:5d}: rounds={out[0]:5d} "
               f"alive_after={out[1]}", flush=True)
 
     # ---- piece 4: survivor curve (alive after k thin rounds) ----
     @jax.jit
-    def survivors(pack):
+    def survivors(dt, pack):
         consts, state = make_consts_state(pack)
         outs = []
         st = state
@@ -167,23 +167,23 @@ def main():
             outs.append(jnp.sum(st[0].astype(jnp.int32)))
         return jnp.stack(outs)
 
-    sv = np.asarray(survivors(pack))
+    sv = np.asarray(survivors(dt, pack))
     print(f"  survivors after thin rounds 1..24: {sv.tolist()}", flush=True)
 
     # ---- piece 5: full-frame pieces ----
     @jax.jit
-    def noisy_frame(transform, hi, lo):
+    def noisy_frame(dt, transform, hi, lo):
         img, aux = RR._render_noisy(
             dt, transform, hi, lo, width=W, height=H, fx=cam.fx, fy=cam.fy,
             opt=opt, n_chunks=1, max_steps=8192, inc=3)
         return aux
 
-    timeit(noisy_frame, transform, hi, lo,
+    timeit(noisy_frame, dt, transform, hi, lo,
            label="full _render_noisy (denoise off)")
 
     # shade-only cost: march to done at 16 rounds then shade
     @jax.jit
-    def march_and_shade(pack):
+    def march_and_shade(dt, pack):
         consts, state = make_consts_state(pack)
         def body(i, st):
             return RR._march_body(dt, opt, spp, consts, st)
@@ -191,7 +191,7 @@ def main():
         vdirs = pack[:, 3:6]
         return RR._shade(dt, vdirs, st[5], st[6], opt, spp)
 
-    t_ms = timeit(march_and_shade, pack, label="16 thin rounds + shade")
+    t_ms = timeit(march_and_shade, dt, pack, label="16 thin rounds + shade")
     print(f"    -> shade approx: {(t_ms - (t2 + (t8-t2)/6*14))*1e3:.2f} ms",
           flush=True)
 
