@@ -43,6 +43,54 @@ def query_single_from_root(tree: N3Tree, xyz: np.ndarray):
         ptr += skip * N3
 
 
+def build_skip_grid(tree: N3Tree, levels: int, cap: int = 12):
+    """Chebyshev empty-space distances on the full-depth cell grid,
+    mirroring ops/traversal._add_skip_distances: dist[cell] = capped
+    Chebyshev distance to the nearest cell whose leaf sigma > 0 (0 at
+    occupied cells).  Returns (grid [res,res,res] int32, res)."""
+    res = tree.N ** levels
+    occ = np.zeros((res, res, res), bool)
+    for x in range(res):
+        for y in range(res):
+            for z in range(res):
+                p = (np.array([x, y, z], np.float32) + 0.5) / res
+                ptr, _, _ = query_single_from_root(tree, p)
+                occ[x, y, z] = float(tree.data[ptr, tree.data_dim - 1]) > 0
+    INF = np.int32(cap + 1)
+    d = np.where(occ, 0, INF).astype(np.int32)
+    for _ in range(cap):
+        p = np.pad(d, 1, constant_values=INF)
+        m = d.copy()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    if dx == dy == dz == 0:
+                        continue
+                    m = np.minimum(
+                        m, p[1 + dx:res + 1 + dx, 1 + dy:res + 1 + dy,
+                             1 + dz:res + 1 + dz] + 1)
+        d = np.minimum(d, m)
+    return np.minimum(d, cap), res
+
+
+def _apply_skip(pos, invdir, t_subcube, skip):
+    """Extend a step's exit distance across the safe empty cube
+    (render/renderer.py _query_step twin)."""
+    grid, res = skip
+    pc = np.clip(pos, 0.0, 1.0 - 1e-6).astype(np.float32)
+    cell = np.floor(pc * res)
+    d = int(grid[int(cell[0]), int(cell[1]), int(cell[2])])
+    if d <= 1:
+        return t_subcube
+    lo = (cell - (d - 1.0)) / res
+    hi = (cell + float(d)) / res
+    t_box = 1e30
+    for i in range(3):
+        t_box = min(t_box, max((lo[i] - pc[i]) * invdir[i],
+                               (hi[i] - pc[i]) * invdir[i]))
+    return max(t_subcube, t_box)
+
+
 def sample_dst(spp: int, rng: Pcg32) -> np.ndarray:
     """Sorted exponential free-flight thresholds + sentinel (rt_core.cuh:67-193).
 
@@ -76,8 +124,10 @@ def _dda_unit(cen, invdir):
 
 def trace_ray(tree: N3Tree, dir_world: np.ndarray, vdir: np.ndarray,
               cen: np.ndarray, opt: RenderOptions, tmax_bg: float,
-              rng: Pcg32, spp: int) -> np.ndarray:
-    """Returns out[4] = premultiplied rgb + alpha (NOT bg-composited)."""
+              rng: Pcg32, spp: int, skip=None) -> np.ndarray:
+    """Returns out[4] = premultiplied rgb + alpha (NOT bg-composited).
+    ``skip``: optional (dist_grid, res) from build_skip_grid enabling the
+    exact empty-space jump the device march uses."""
     out = np.zeros(4, np.float32)
     d = dir_world.astype(np.float32) * tree.scale
     delta_scale = 1.0 / np.linalg.norm(d)
@@ -102,6 +152,8 @@ def trace_ray(tree: N3Tree, dir_world: np.ndarray, vdir: np.ndarray,
         sub_ptr, cube_sz, _local = query_single_from_root(tree, pos)
         # NOTE: dda uses the leaf-local coords the query produced
         t_subcube = _dda_unit(_local, invdir) / cube_sz
+        if skip is not None:
+            t_subcube = _apply_skip(pos, invdir, t_subcube, skip)
         delta_t = t_subcube + opt.step_size
         sigma = float(tree.data[sub_ptr, tree.data_dim - 1])
         if sigma > opt.sigma_thresh:
@@ -243,7 +295,7 @@ def maybe_world2ndc(tree: N3Tree, dir, cen):
 
 
 def render_frame_oracle(tree: N3Tree, cam: Camera, opt: RenderOptions,
-                        rng: Pcg32) -> tuple[np.ndarray, np.ndarray]:
+                        rng: Pcg32, skip=None) -> tuple[np.ndarray, np.ndarray]:
     """Renders image [H,W,4] and aux buffer [8,H,W] (volrend.cu:84-213).
 
     The caller owns per-frame rng advancement (rng.advance() per frame).
@@ -268,7 +320,7 @@ def render_frame_oracle(tree: N3Tree, cam: Camera, opt: RenderOptions,
 
         r = rng.copy()
         r.advance(idx * opt.spp)
-        out = trace_ray(tree, d, vdir, cen, opt, 1e9, r, opt.spp)
+        out = trace_ray(tree, d, vdir, cen, opt, 1e9, r, opt.spp, skip=skip)
 
         nalpha = 1.0 - out[3]
         out[:3] += opt.background_brightness * nalpha

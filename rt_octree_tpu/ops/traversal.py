@@ -56,6 +56,11 @@ class DeviceTree:
     max_depth: int = flax.struct.field(pytree_node=False)
     lut_levels: int = flax.struct.field(pytree_node=False)
     brick_levels: int = flax.struct.field(pytree_node=False, default=0)
+    # empty-space skip radius cap: when > 0, the LUT's sigma lane of empty
+    # cells holds the Chebyshev distance (in cells, 1..cap) to the nearest
+    # occupied cell, encoded as an f32 denormal (bits 1..255 < any
+    # sigma_thresh >= 0, so the threshold test is untouched)
+    skip_cap: int = flax.struct.field(pytree_node=False, default=0)
     # (width, height, focal) or None
     ndc: Optional[tuple] = flax.struct.field(pytree_node=False, default=None)
 
@@ -118,6 +123,62 @@ def _device_lut_build(chs, *, N: int, N3: int, levels: int, n_chunks: int):
     return out.reshape(n_cells, 2)
 
 
+def add_skip_distances_np(lut: np.ndarray, res: int, cap: int = 12):
+    """NumPy twin of the device skip-distance build (for oracle parity
+    tests): chamfer min-filter iterations computing the Chebyshev distance
+    to the nearest occupied (sigma > 0) cell, stored into the sigma lane
+    of empty cells as an integer in [1, cap]."""
+    sig = lut[:, 1].view(np.float32).reshape(res, res, res)
+    occ = sig > 0.0
+    INF = np.int32(cap + 1)
+    d = np.where(occ, 0, INF).astype(np.int32)
+    for _ in range(cap):
+        p = np.pad(d, 1, constant_values=INF)
+        m = d
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    if dx == dy == dz == 0:
+                        continue
+                    m = np.minimum(
+                        m, p[1 + dx:res + 1 + dx, 1 + dy:res + 1 + dy,
+                             1 + dz:res + 1 + dz] + 1)
+        d = np.minimum(d, m)
+    d = np.minimum(d, cap).reshape(-1)
+    out = lut.copy()
+    empty = ~occ.reshape(-1)
+    out[:, 1] = np.where(empty, d.astype(np.int32), lut[:, 1])
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("res", "cap"), donate_argnums=0)
+def _add_skip_distances(lut, *, res: int, cap: int = 12):
+    """Device Chebyshev distance transform folded into the LUT sigma lane.
+
+    Exactness contract (consumed by the march's empty-space jump): a cell
+    holding distance d guarantees every cell within Chebyshev radius d-1
+    has leaf sigma <= 0, so a ray may advance to the boundary of that
+    (2d-1)^3 cell cube in one step; the reference's per-leaf epsilon does
+    not accumulate across steps (each step lands at geometric boundary +
+    one epsilon), so the jump reproduces the reference t bit-near.
+    """
+    sig = jax.lax.bitcast_convert_type(lut[:, 1], jnp.float32)
+    occ = (sig > 0.0).reshape(res, res, res)
+    INF = jnp.int32(cap + 1)
+    d = jnp.where(occ, 0, INF)
+
+    def body(_, d):
+        m = jax.lax.reduce_window(
+            d, INF, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME")
+        return jnp.minimum(d, m + 1)
+
+    d = jax.lax.fori_loop(0, cap, body, d)
+    d = jnp.minimum(d, cap).reshape(-1)
+    empty = ~occ.reshape(-1)
+    lane1 = jnp.where(empty, d, lut[:, 1])
+    return jnp.stack([lut[:, 0], lane1], axis=-1)
+
+
 def build_brick_table(chs_dev, N: int, N3: int, max_depth: int,
                       brick_levels: int):
     """Device-side brick build: regroup the full-depth LUT into cell-major
@@ -171,11 +232,13 @@ def build_brick_table(chs_dev, N: int, N3: int, max_depth: int,
 
 def upload_tree(tree: N3Tree, lut_levels: int = 7,
                 device=None, lut_on_device: bool = True,
-                brick: bool = True) -> DeviceTree:
+                brick: bool = True, skip_cap: int = 12) -> DeviceTree:
     """Host tree -> device arrays.  ``lut_levels=0`` disables the LUT;
     ``brick`` additionally builds the 4x4x4 leaf-block table used by the
     fast march when the tree is shallow enough (max_depth <= lut_levels+2
-    semantics: brick level = max_depth-2)."""
+    semantics: brick level = max_depth-2).  When the LUT is full depth,
+    ``skip_cap > 0`` bakes Chebyshev empty-space skip distances into the
+    LUT (see _add_skip_distances)."""
     sigma_np = np.ascontiguousarray(tree.data[:, tree.data_dim - 1])
     sigma_bits = sigma_np.astype(np.float32).view(np.int32)
     chs = np.stack([tree.child, sigma_bits], axis=-1)  # [M, 2] i32
@@ -218,6 +281,14 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
     else:
         lut_dev = put(lut_arr)
 
+    # empty-space skip distances need a full-depth LUT (a partial LUT has
+    # internal cells whose occupancy the sigma lane cannot witness)
+    eff_skip = 0
+    if skip_cap > 0 and eff_levels == tree.max_depth and eff_levels > 0:
+        lut_dev = _add_skip_distances(
+            lut_dev, res=tree.N ** eff_levels, cap=skip_cap)
+        eff_skip = skip_cap
+
     brick_levels = 0
     brick_dev = jnp.zeros((0, 128), jnp.int32)
     # brick table memory is (2^(d-2))^3 * 512B -> cap at depth 9 (~1GB)
@@ -245,11 +316,13 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
         max_depth=max(tree.max_depth, 1),
         lut_levels=eff_levels,
         brick_levels=brick_levels,
+        skip_cap=eff_skip,
         ndc=ndc,
     )
 
 
-def tree_query_full(tree: DeviceTree, pos: jnp.ndarray, active=None):
+def tree_query_full(tree: DeviceTree, pos: jnp.ndarray, active=None,
+                    with_bits: bool = False):
     """Vectorized root-to-leaf query.
 
     pos: [R, 3] tree-space coordinates in [0, 1].
@@ -323,6 +396,8 @@ def tree_query_full(tree: DeviceTree, pos: jnp.ndarray, active=None):
     local = pos * cube[:, None]
     local = local - jnp.floor(local)
     sigma = jax.lax.bitcast_convert_type(sigma_bits, jnp.float32)
+    if with_bits:
+        return sub_ptr, cube, local, sigma, sigma_bits
     return sub_ptr, cube, local, sigma
 
 

@@ -147,18 +147,21 @@ def _dda_unit(local, invdir):
     return jnp.minimum(1e4, jnp.maximum(t1, t2).min(-1))
 
 
-def _step_update(opt, spp: int, consts, state, sub_ptr, cube, local, sigma,
+def _step_update(opt, spp: int, consts, state, sub_ptr, t_sub, sigma,
                  mask):
     """Advance rays one leaf step given the leaf info (rt_core.cuh:241-270
     semantics: DDA exit + epsilon, optical-depth accumulation, sorted
-    threshold crossing with distinct-leaf recording)."""
+    threshold crossing with distinct-leaf recording).  ``t_sub`` is the
+    distance to the step's exit boundary (leaf exit, or an empty-space
+    skip boundary -- any boundary all of whose skipped cells are empty
+    preserves the reference t sequence, since the epsilon never
+    accumulates: every step lands at geometric boundary + one epsilon)."""
     (cen_t, d_t, invdir, delta_scale, dst, tmax) = consts
     (active, t, src, sppc, shn, leafs, cnts) = state
     sigma_thresh = jnp.float32(opt.sigma_thresh)
     step_size = jnp.float32(opt.step_size)
     iota_spp = jnp.arange(spp, dtype=jnp.int32)
 
-    t_sub = _dda_unit(local, invdir) / cube
     delta_t = t_sub + step_size
     has_sigma = (sigma > sigma_thresh) & mask
     delta = jnp.where(has_sigma, delta_t * delta_scale * sigma, 0.0)
@@ -180,13 +183,39 @@ def _step_update(opt, spp: int, consts, state, sub_ptr, cube, local, sigma,
     return (active, t, src, sppc, shn, leafs, cnts)
 
 
+def _query_step(tree: DeviceTree, pos, invdir, active):
+    """Leaf query + step exit distance, with the empty-space skip when the
+    tree carries Chebyshev distances: the LUT sigma lane of an empty cell
+    holds dist d => all cells within radius d-1 are empty, so the step may
+    run to the boundary of that (2d-1)^3 cell cube instead of just the
+    leaf exit.  Exact (see _step_update's epsilon argument); the skipped
+    region contributes no optical depth either way."""
+    sub_ptr, cube, local, sigma, bits = tree_query_full(
+        tree, pos, active=active, with_bits=True)
+    t_sub = _dda_unit(local, invdir) / cube
+    if tree.skip_cap > 0:
+        res = float(tree.N ** tree.lut_levels)
+        posc = jnp.clip(pos, 0.0, 1.0 - 1e-6)
+        cell = jnp.floor(posc * res)
+        # distances ride as integer bits 1..255 (f16-sourced sigmas can
+        # never produce f32 bit patterns that small)
+        dist = jnp.where((bits > 0) & (bits <= 255), bits, 1
+                         ).astype(jnp.float32)
+        lo = (cell - (dist[:, None] - 1.0)) / res
+        hi = (cell + dist[:, None]) / res
+        t_box = jnp.maximum((lo - posc) * invdir,
+                            (hi - posc) * invdir).min(-1)
+        t_sub = jnp.where(dist > 1.0, jnp.maximum(t_sub, t_box), t_sub)
+    return sub_ptr, sigma, t_sub
+
+
 def _march_body(tree: DeviceTree, opt, spp: int, consts, state):
     """One leaf step for every ray: query + step update."""
     (cen_t, d_t, invdir, *_r) = consts
     (active, t, *_s) = state
     pos = cen_t + t[:, None] * d_t
-    sub_ptr, cube, local, sigma = tree_query_full(tree, pos, active=active)
-    return _step_update(opt, spp, consts, state, sub_ptr, cube, local,
+    sub_ptr, sigma, t_sub = _query_step(tree, pos, invdir, active)
+    return _step_update(opt, spp, consts, state, sub_ptr, t_sub,
                         sigma, state[0])
 
 
@@ -236,7 +265,8 @@ def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
         sigma = jax.lax.bitcast_convert_type(sig_bits, jnp.float32)
 
         mask = in_cell & state[0]
-        state = _step_update(opt, spp, consts, state, sub_ptr, cube, local,
+        t_sub = _dda_unit(local, invdir) / cube
+        state = _step_update(opt, spp, consts, state, sub_ptr, t_sub,
                              sigma, mask)
         # still inside the same level-L cell?
         pos_n = jnp.clip(cen_t + state[1][:, None] * d_t, 0.0, 1.0 - 1e-6)
@@ -569,9 +599,7 @@ def trace_rays_classic(tree: DeviceTree, dirs, vdirs, cens,
     def one_step(st):
         active, t, light, rgb = st
         pos = cen_t + t[:, None] * d_t
-        sub_ptr, cube, local, sigma = tree_query_full(tree, pos,
-                                                      active=active)
-        t_sub = _dda_unit(local, invdir) / cube
+        sub_ptr, sigma, t_sub = _query_step(tree, pos, invdir, active)
         delta_t = t_sub + step_size
         has = (sigma > sigma_thresh) & active
         att = jnp.minimum(jnp.exp(-delta_t * delta_scale * sigma), 1.0)

@@ -246,3 +246,30 @@ def test_classic_stop_thresh_early_out(tree):
     img_ref = render_frame_classic_oracle(tree, cam, opt)
     np.testing.assert_allclose(np.asarray(img), img_ref, atol=3e-5)
     assert np.asarray(aux)[3].max() >= 1.0 - 1e-6
+
+
+def test_empty_space_skip_is_exact(tree):
+    """The Chebyshev empty-space jump must reproduce the plain march: the
+    per-leaf epsilon never accumulates (each step lands at geometric
+    boundary + one epsilon), so skipping all-empty cell cubes is exact."""
+    from rt_octree_tpu.core.oracle import build_skip_grid
+
+    cam = make_camera()
+    opt = RenderOptions(spp=4, denoise=False)
+
+    # full-depth LUT => device skip active (traversal.upload_tree)
+    dt = upload_tree(tree, lut_levels=tree.max_depth, brick=False)
+    assert dt.skip_cap > 0
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt)
+    img, _ = r.render(cam.transform)
+
+    rng = Pcg32(20230418)
+    skip = build_skip_grid(tree, tree.max_depth)
+    img_skip_oracle, _ = render_frame_oracle(tree, cam, opt, rng.copy(),
+                                             skip=skip)
+    img_plain_oracle, _ = render_frame_oracle(tree, cam, opt, rng.copy())
+
+    # oracle skip vs oracle plain: the exactness claim itself
+    np.testing.assert_allclose(img_skip_oracle, img_plain_oracle, atol=2e-5)
+    # device skip march vs the plain oracle
+    np.testing.assert_allclose(np.asarray(img), img_plain_oracle, atol=2e-5)
