@@ -71,6 +71,44 @@ def canary(tree, dt, size=24, spp=2, atol=1e-4):
     print(f"[bench] numerics canary ok (max err {err:.2e})", file=sys.stderr)
 
 
+def quality_report(r, dtree):
+    """Denoise quality vs converged GT on a held-out quality-ds pose:
+    PSNR of denoised SPP=6 vs the classic-marcher ground truth, against
+    PSNR of the raw noisy render (the reference's de-facto correctness
+    check, denoiser/runner.py:126-160).  Prints to stderr only."""
+    import json as _json
+
+    import numpy as np
+
+    qd = os.path.join(CACHE, "quality_ds")
+    tf = os.path.join(qd, "transforms_test.json")
+    if not (os.path.exists(tf) and r.net_cfg is not None):
+        print("[bench] quality: no quality_ds; skipping PSNR",
+              file=sys.stderr)
+        return
+    from rt_octree_tpu.io.images import read_png
+
+    with open(tf) as f:
+        frame0 = _json.load(f)["frames"][0]
+    name = os.path.basename(frame0["file_path"])
+    gt = read_png(os.path.join(qd, "test", f"{name}.png")
+                  ).astype(np.float32)[..., :3] / 255.0
+    pose = np.asarray(frame0["transform_matrix"], np.float32)[:3]
+
+    def psnr(a, b):
+        mse = float(np.mean((a - b) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    r.rng.seed(20230418, 1)
+    r.options.denoise = False
+    noisy = np.asarray(r.render(pose)[0])[..., :3]
+    r.options.denoise = True
+    den = np.asarray(r.render(pose)[0])[..., :3]
+    p_n, p_d = psnr(noisy, gt), psnr(den, gt)
+    print(f"[bench] quality: PSNR noisy {p_n:.2f} dB -> denoised "
+          f"{p_d:.2f} dB (gain {p_d - p_n:+.2f} dB)", file=sys.stderr)
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -96,10 +134,21 @@ def main():
     cam = Camera(width=800, height=800)  # canonical blender focal
     r = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt)
 
-    # canonical GuidanceNet (in=8, mid=32, layers=2, branches=5, levels=4)
-    cfg = GuidanceNetConfig()
-    params = compact_params(cfg, init_params(cfg, jax.random.PRNGKey(0)))
-    r.set_denoiser(cfg, params)
+    # canonical GuidanceNet (in=8, mid=32, layers=2, branches=5, levels=4);
+    # a trained export from the quality pipeline replaces random init when
+    # present (tools/make_quality_dataset.py + train CLI)
+    gnet_path = os.environ.get(
+        "RT_BENCH_GNET",
+        os.path.join(CACHE, "quality_ds", "work", "ts_latest.gnet"))
+    if os.path.exists(gnet_path):
+        r.set_denoiser(gnet_path)
+        print(f"[bench] trained denoiser: {gnet_path}", file=sys.stderr)
+    else:
+        cfg = GuidanceNetConfig()
+        params = compact_params(cfg, init_params(cfg, jax.random.PRNGKey(0)))
+        r.set_denoiser(cfg, params)
+        print("[bench] denoiser: random init (no trained .gnet found)",
+              file=sys.stderr)
 
     checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
 
@@ -136,6 +185,8 @@ def main():
     dt_frame = (time.time() - t0) / FRAMES
     fps = 1.0 / dt_frame
     print(f"[bench] {dt_frame*1000:.1f} ms/frame", file=sys.stderr)
+
+    quality_report(r, dt)
 
     print(json.dumps({
         "metric": "fps_800x800_spp6_denoise_shell_d9",

@@ -291,8 +291,10 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
     def body(sv):
         step, st = sv
         if use_brick:
-            st = _march_body_brick(tree, opt, spp, consts, st, t_in=t_in)
-            return step + t_in, st
+            for _ in range(unroll):
+                st = _march_body_brick(tree, opt, spp, consts, st,
+                                       t_in=t_in)
+            return step + t_in * unroll, st
         for _ in range(unroll):
             st = _march_body(tree, opt, spp, consts, st)
         return step + unroll, st
@@ -312,13 +314,21 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
 # measured survivor curves (tools/profile_march2.py); overflow at any
 # stage falls back to finishing at the current width (exactness is never
 # traded).  The final stage runs to max_steps.
+# Divisors are sized against the measured survivor curve of the bench
+# scene with ~1.3x margin (tools/tune_schedule.py; sv(k) for thin rounds
+# k=2..68: 207k, 135k @6, 84k @16, 47k @28, 22k @40, 12.4k @52, 7.5k
+# @68 of 640k rays).  Brick stages count t_in steps per round but
+# deliver ~1-2 effective steps, so they are only safe where no
+# subsequent cap depends on the step count -- the final drain.
 DEFAULT_SCHEDULE = (
-    (2, 1.5, "thin"),
+    (2, 1.0, "thin"),
     (4, 2.4, "thin"),
-    (6, 3.6, "thin"),
-    (12, 5.0, "brick"),
-    (24, 9.0, "brick"),
-    (0, 30.0, "brick"),
+    (10, 3.5, "thin"),
+    (12, 5.8, "thin"),
+    (12, 10.5, "thin"),
+    (12, 22.0, "thin"),
+    (16, 40.0, "thin"),
+    (0, 64.0, "brick"),
 )
 
 

@@ -61,33 +61,10 @@ def main():
     transform = jnp.asarray(cam.transform, jnp.float32)
     hi, lo = jnp.uint32(0x12345678), jnp.uint32(0x9ABCDEF0)
 
-    # ---------- fast_nonzero vs jnp.nonzero on device ----------
-    rngnp = np.random.default_rng(0)
-    mask = jnp.asarray(rngnp.random(R) < 0.35)
-
-    @functools.partial(jax.jit, static_argnames=("size",))
-    def nz_jnp(mask, *, size):
-        return jnp.nonzero(mask, size=size, fill_value=R)[0]
-
-    @functools.partial(jax.jit, static_argnames=("size",))
-    def nz_fast(mask, *, size):
-        return fast_nonzero(mask, size, R)
-
-    timeit(functools.partial(nz_jnp, size=R // 2), mask,
-           label="jnp.nonzero @640k size=320k")
-    timeit(functools.partial(nz_fast, size=R // 2), mask,
-           label="fast_nonzero @640k size=320k")
-    mask32 = jnp.asarray(rngnp.random(R * (spp - 1)) < 0.1)
-    timeit(functools.partial(nz_jnp, size=R // 2), mask32,
-           label="jnp.nonzero @3.2M size=320k")
-    timeit(functools.partial(nz_fast, size=R // 2), mask32,
-           label="fast_nonzero @3.2M size=320k")
-
-    # ---------- staged march ----------
+    # ---------- survivor curve with empty-space skip ----------
     @jax.jit
     def setup(transform, hi, lo):
         dirs, cens = RR.device_camera_rays(transform, W, H, cam.fx, cam.fy)
-        vdirs = RR.rodrigues_jnp(jnp.zeros(3, jnp.float32), dirs)
         uniforms = pcg32_uniforms_range(hi, lo, n=R * spp, inc=3
                                         ).reshape(R, spp)
         dst = RR.make_sorted_dst(uniforms)
@@ -107,53 +84,61 @@ def main():
 
     bundle0 = setup(transform, hi, lo)
     bundle0.block_until_ready()
-    print(f"  initial actives: "
-          f"{int(jnp.sum(RR._unpack_bundle(bundle0, spp)[1][0]))} / {R}",
-          flush=True)
+    print(f"  skip_cap={dt.skip_cap}", flush=True)
 
-    @functools.partial(jax.jit, static_argnames=("steps", "kind"))
-    def run_stage(dt, bundle, *, steps: int, kind: str):
+    @jax.jit
+    def survivors(dt, bundle):
         consts, state = RR._unpack_bundle(bundle, spp)
-        state = RR._march_loop(dt, opt, spp, consts, state, steps,
-                               brick=(kind == "brick"))
-        return RR._pack_bundle(consts, state)
+        outs = []
+        st = state
+        for k in range(64):
+            st = RR._march_body(dt, opt, spp, consts, st)
+            outs.append(jnp.sum(st[0].astype(jnp.int32)))
+        return jnp.stack(outs), RR._pack_bundle(consts, st)
 
-    @functools.partial(jax.jit, static_argnames=("cap",))
-    def compact_stage(bundle, *, cap: int):
+    sv, bundle64 = survivors(dt, bundle0)
+    sv = np.asarray(sv)
+    print(f"  survivors w/skip rounds 1..64: {sv.tolist()}", flush=True)
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def drain_count(dt, bundle, *, steps):
         consts, state = RR._unpack_bundle(bundle, spp)
-        Rcur = state[0].shape[0]
-        idx = fast_nonzero(state[0], cap, Rcur)
-        row = jnp.take(bundle, idx, axis=0, mode="fill", fill_value=0)
-        c_consts, c_state = RR._unpack_bundle(row, spp)
-        c_state = (c_state[0] & (idx < Rcur),) + c_state[1:]
-        return RR._pack_bundle(c_consts, c_state)
 
-    SCHED = ((2, 1.5, "thin"), (4, 2.4, "thin"), (6, 3.6, "thin"),
-             (12, 5.0, "brick"), (24, 9.0, "brick"), (64, 30.0, "brick"),
-             (200, 80.0, "brick"))
+        def cond(sv_):
+            i, st = sv_
+            return (i < steps) & jnp.any(st[0])
 
-    bundle = bundle0
-    total = 0.0
-    for si, (steps, frac, kind) in enumerate(SCHED):
-        cap = max(int(R // frac), 1)
-        n_active = int(jnp.sum(RR._unpack_bundle(bundle, spp)[1][0]))
-        fits = n_active <= cap
-        print(f"  stage {si}: alive={n_active:7d} cap={cap:7d} "
-              f"{'OK' if fits else '*** OVERFLOW ***'}", flush=True)
-        if fits and cap < bundle.shape[0]:
-            t = timeit(functools.partial(compact_stage, cap=cap), bundle,
-                       label=f"    compact -> {cap}")
-            total += t
-            bundle = compact_stage(bundle, cap=cap)
-            bundle.block_until_ready()
-        t = timeit(functools.partial(run_stage, steps=steps, kind=kind),
-                   dt, bundle, label=f"    {kind} x{steps} @{bundle.shape[0]}")
-        total += t
-        bundle = run_stage(dt, bundle, steps=steps, kind=kind)
-        bundle.block_until_ready()
-    n_active = int(jnp.sum(RR._unpack_bundle(bundle, spp)[1][0]))
-    print(f"  final alive: {n_active}; staged total {total*1e3:.1f} ms "
-          f"(incl ~10ms dispatch floor per stage)", flush=True)
+        def body(sv_):
+            i, st = sv_
+            return i + 1, RR._march_body(dt, opt, spp, consts, st)
+
+        i, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        # extras distribution at the end: slots >= 1 with hits
+        extras = jnp.sum((st[6][:, 1:] > 0).astype(jnp.int32))
+        return jnp.stack([i, jnp.sum(st[0].astype(jnp.int32)), extras])
+
+    out = np.asarray(drain_count(dt, bundle64, steps=4096))
+    print(f"  after 64: drained in {64 + out[0]} total rounds, "
+          f"alive={out[1]}, extra-slot hits={out[2]} "
+          f"({out[2]/R:.3f}/ray)", flush=True)
+
+    # thin round cost with skip at widths
+    @functools.partial(jax.jit, static_argnames=("rounds", "rsub"))
+    def march_n(dt, bundle, *, rounds: int, rsub: int):
+        consts, state = RR._unpack_bundle(bundle[:rsub], spp)
+
+        def body(i, st):
+            return RR._march_body(dt, opt, spp, consts, st)
+
+        st = jax.lax.fori_loop(0, rounds, body, state)
+        return st[6]
+
+    for rsub in (640000, 163840, 40960, 8192):
+        a = timeit(functools.partial(march_n, rounds=2, rsub=rsub), dt,
+                   bundle0, label=f"thin+skip 2 rounds @{rsub}")
+        b = timeit(functools.partial(march_n, rounds=10, rsub=rsub), dt,
+                   bundle0, label=f"thin+skip 10 rounds @{rsub}")
+        print(f"    -> per round @{rsub}: {(b-a)/8*1e3:.3f} ms", flush=True)
     print("DONE", flush=True)
 
 
