@@ -27,7 +27,7 @@ import numpy as np
 
 from ..core.options import RenderOptions
 from ..io.n3tree import BasisFormat
-from ..ops.compaction import fast_nonzero
+from ..ops.compaction import fast_nonzero, packed_segments
 from ..models.guidance_net import GuidanceNetCompact, GuidanceNetConfig
 from ..ops.filtering import guided_filter
 from ..ops.sh import eval_asg_basis, eval_sg_basis, eval_sh_basis
@@ -530,25 +530,25 @@ def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
         rgb = _leaf_rgb(tree, leafs[:, 0], basis) * w[:, 0:1] / spp
         return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
-    extra_mask = (cnts[:, 1:] > 0).reshape(-1)  # [R*(spp-1)]
-    n_extra = jnp.sum(extra_mask.astype(jnp.int32))
+    # per-ray extra-slot counts (hit slots are prefix-packed, so the
+    # extras of ray r are exactly slots 1..ec_r)
+    ec = jnp.sum((cnts[:, 1:] > 0).astype(jnp.int32), axis=1)
+    n_extra = jnp.sum(ec)
     cap = max(R // 2, 1)
 
     def two_tier(_):
         rgb = _leaf_rgb(tree, leafs[:, 0], basis) * w[:, 0:1]
-        flat = fast_nonzero(extra_mask, cap, R * (spp - 1))
-        ray = jnp.minimum(flat // (spp - 1), R - 1)
-        slot = flat % (spp - 1) + 1
-        leaf_e = jnp.take(leafs.reshape(-1),
-                          jnp.minimum(ray * spp + slot, R * spp - 1))
-        w_e = jnp.take(w.reshape(-1),
-                       jnp.minimum(ray * spp + slot, R * spp - 1))
-        w_e = jnp.where(flat < R * (spp - 1), w_e, 0.0)
-        basis_e = jnp.take(basis, ray, axis=0)
+        ray, rank, _total = packed_segments(ec, cap)
+        valid = ray < R
+        rayc = jnp.minimum(ray, R - 1)
+        slot = rank + 1
+        flat_idx = jnp.minimum(rayc * spp + slot, R * spp - 1)
+        leaf_e = jnp.take(leafs.reshape(-1), flat_idx)
+        w_e = jnp.where(valid, jnp.take(w.reshape(-1), flat_idx), 0.0)
+        basis_e = jnp.take(basis, rayc, axis=0)
         rgb_e = _leaf_rgb(tree, leaf_e, basis_e) * w_e[:, None]
-        return rgb.at[ray].add(
-            jnp.where(flat[:, None] < R * (spp - 1), rgb_e, 0.0),
-            mode="drop")
+        return rgb.at[rayc].add(
+            jnp.where(valid[:, None], rgb_e, 0.0), mode="drop")
 
     def dense(_):
         vals = jnp.take(tree.data, leafs.reshape(-1), axis=0).reshape(
