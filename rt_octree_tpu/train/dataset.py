@@ -126,6 +126,33 @@ class DenoiserDataset:
         n = len(self.splits[split].aux)
         return -(-n // batch_size)
 
+    def device_split(self, split: str):
+        """Stack a split into device-resident arrays (preload=true): one
+        upload per run instead of per-step host->device batch transfers
+        (the training-loop bottleneck over a slow device link).  Train
+        slices are uniform [C,h,w] so they stack."""
+        import jax.numpy as jnp
+        if not hasattr(self, "_device_cache"):
+            self._device_cache = {}
+        if split not in self._device_cache:
+            data = self.splits[split]
+            self._device_cache[split] = (
+                jnp.asarray(np.stack(data.aux)),
+                jnp.asarray(np.stack(data.img_in)),
+                jnp.asarray(np.stack(data.img_gt)))
+        return self._device_cache[split]
+
+    def iter_batch_indices(self, split: str, batch_size: int,
+                           shuffle: bool = False, seed: int = 0):
+        """Index batches for the device_split path (same order semantics
+        as iter_batches)."""
+        n = len(self.splits[split].aux)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for i in range(0, n, batch_size):
+            yield order[i:i + batch_size]
+
     def iter_batches(self, split: str, batch_size: int,
                      shuffle: bool = False,
                      seed: int = 0) -> Iterator[tuple]:

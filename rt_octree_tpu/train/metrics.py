@@ -88,11 +88,15 @@ def ssim(preds, truths, data_range: float = 1.0):
     def blur(img):  # separable gaussian, valid padding, [B,H,W,C]
         out = jax.vmap(
             lambda c: jnp.apply_along_axis(
-                lambda v: jnp.convolve(v, win, mode="valid"), 1, c),
+                lambda v: jnp.convolve(v, win, mode="valid",
+                                       precision=jax.lax.Precision.HIGHEST),
+                1, c),
             in_axes=-1, out_axes=-1)(img)
         out = jax.vmap(
             lambda c: jnp.apply_along_axis(
-                lambda v: jnp.convolve(v, win, mode="valid"), 2, c),
+                lambda v: jnp.convolve(v, win, mode="valid",
+                                       precision=jax.lax.Precision.HIGHEST),
+                2, c),
             in_axes=-1, out_axes=-1)(out)
         return out
 

@@ -169,14 +169,38 @@ class Runner:
 
     def train_one_epoch(self, params, opt_state):
         args = self.args
-        avg_loss, n = 0.0, 0
-        for aux, img_in, img_gt in self.dataset.iter_batches(
-                "train", args.batch_size, shuffle=True, seed=self.epoch):
-            params, opt_state, loss = self._train_step(
-                params, opt_state, jnp.asarray(aux), jnp.asarray(img_in),
-                jnp.asarray(img_gt))
-            avg_loss += float(loss)
-            n += 1
+        # loss accumulates on device with a bounded dispatch pipeline
+        # (sync every SYNC_EVERY steps): per-step float() serializes on
+        # the ~30ms device-link roundtrip, while a fully unsynced epoch
+        # floods the link with queued batch transfers
+        SYNC_EVERY = 8
+        loss_sum, n = None, 0
+        if getattr(args, "preload", False):
+            aux_all, in_all, gt_all = self.dataset.device_split("train")
+            for idx in self.dataset.iter_batch_indices(
+                    "train", args.batch_size, shuffle=True,
+                    seed=self.epoch):
+                idxd = jnp.asarray(idx)
+                params, opt_state, loss = self._train_step(
+                    params, opt_state, jnp.take(aux_all, idxd, axis=0),
+                    jnp.take(in_all, idxd, axis=0),
+                    jnp.take(gt_all, idxd, axis=0))
+                loss_sum = loss if loss_sum is None else loss_sum + loss
+                n += 1
+                if n % SYNC_EVERY == 0:
+                    float(loss_sum)
+        else:
+            for aux, img_in, img_gt in self.dataset.iter_batches(
+                    "train", args.batch_size, shuffle=True,
+                    seed=self.epoch):
+                params, opt_state, loss = self._train_step(
+                    params, opt_state, jnp.asarray(aux),
+                    jnp.asarray(img_in), jnp.asarray(img_gt))
+                loss_sum = loss if loss_sum is None else loss_sum + loss
+                n += 1
+                if n % SYNC_EVERY == 0:
+                    float(loss_sum)
+        avg_loss = float(loss_sum) if n else 0.0
 
         if self.epoch % args.i_print == 0:
             self.logger.log({
