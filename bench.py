@@ -137,10 +137,13 @@ def main():
     # canonical GuidanceNet (in=8, mid=32, layers=2, branches=5, levels=4);
     # a trained export from the quality pipeline replaces random init when
     # present (tools/make_quality_dataset.py + train CLI)
-    gnet_path = os.environ.get(
-        "RT_BENCH_GNET",
-        os.path.join(CACHE, "quality_ds", "work", "ts_latest.gnet"))
-    if os.path.exists(gnet_path):
+    gnet_path = os.environ.get("RT_BENCH_GNET", "")
+    if not gnet_path:
+        import glob
+        cands = sorted(glob.glob(
+            os.path.join(CACHE, "quality_ds", "work", "ts_*.gnet")))
+        gnet_path = cands[-1] if cands else ""
+    if gnet_path and os.path.exists(gnet_path):
         r.set_denoiser(gnet_path)
         print(f"[bench] trained denoiser: {gnet_path}", file=sys.stderr)
     else:

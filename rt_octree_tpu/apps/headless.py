@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--estimator", choices=("rt", "classic"), default=None,
                    help="override estimator: rt (regular tracking) or "
                         "classic (exponential transmittance, rt.frag)")
+    p.add_argument("--profile", default="", metavar="DIR",
+                   help="write a jax.profiler trace of the measured "
+                        "frames into DIR (view with xprof/tensorboard)")
     return p
 
 
@@ -174,7 +177,8 @@ def run(argv: Optional[Sequence[str]] = None) -> int:
                 sync(img)
             timer.frame_done()
             return img, aux
-        return render_timed(renderer, cam.transform, timer)
+        return render_timed(renderer, cam.transform, timer,
+                            profile_dir=args.profile or None)
 
     cam.set_pose(poses[0])
     for _ in range(args.warmup):

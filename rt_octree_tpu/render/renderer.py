@@ -913,13 +913,21 @@ def _filter_jit(weight, guidance, noisy_img):
     return guided_filter(weight, guidance, noisy_img)
 
 
-def render_timed(renderer: "Renderer", transform, timer) -> tuple:
+def render_timed(renderer: "Renderer", transform, timer,
+                 profile_dir: Optional[str] = None) -> tuple:
     """Split-phase render for the FPS/phase report (utils/timer.py).
 
     Phase semantics mirror render_context.hpp: T_RENDER around the
     traversal+aux, T_NET around the GuidanceNet forward, T_FILTER around
-    the guided filtering."""
+    the guided filtering.  ``profile_dir`` wraps the frame in a
+    jax.profiler trace (the TPU equivalent of the reference's optional
+    torch.profiler blocks, network.py:182-207) -- view with
+    tensorboard/xprof."""
     from ..utils.timer import T_FILTER, T_NET, T_RENDER, sync
+
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            return render_timed(renderer, transform, timer)
 
     opt = renderer.options
     denoise = opt.denoise and renderer.net_cfg is not None
