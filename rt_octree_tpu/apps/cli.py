@@ -2,6 +2,7 @@
 
 Commands mirror the reference's executable surface:
   render    volrend_headless equivalent (apps/headless.py)
+  view      interactive web viewer (apps/viewer.py; GUI/web equivalent)
   anim      offline keyframe animation render (apps/anim.py)
   train     denoiser training/test/compact (train/main.py)
   compress  octree quantization (apps/compress.py)
@@ -22,6 +23,9 @@ def main(argv=None) -> int:
     if cmd == "render":
         from .headless import run
         return run(rest)
+    if cmd == "view":
+        from .viewer import run as view_run
+        return view_run(rest)
     if cmd == "anim":
         from .anim import main as anim_main
         return anim_main(rest) or 0

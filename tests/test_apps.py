@@ -403,3 +403,61 @@ def test_train_export_render_roundtrip(tmp_path):
     assert rc == 0
     img = imageio.imread(os.path.join(out_dir, "r_0.png"))
     assert img.shape[:2] == (20, 20)
+
+
+def test_web_viewer_end_to_end(tmp_path):
+    """Drive the interactive viewer over HTTP: page, frame, drag events,
+    option changes (the reference GUI/web surface, main.cpp:238-261 +
+    web/main_web.cpp, reinterpreted as server-side TPU rendering)."""
+    import json
+    import threading
+    import urllib.request
+
+    from rt_octree_tpu.apps.viewer import ViewerState, make_handler
+    from rt_octree_tpu.io import synthetic
+    from http.server import ThreadingHTTPServer
+
+    tree_path = str(tmp_path / "tree.npz")
+    synthetic.save_npz(
+        synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4),
+        tree_path)
+    state = ViewerState(tree_path, width=24, height=24, lut_levels=0,
+                        spp=1)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        page = urllib.request.urlopen(f"{base}/", timeout=120).read()
+        assert b"rt-octree-tpu" in page
+        png1 = urllib.request.urlopen(f"{base}/frame.png", timeout=600
+                                      ).read()
+        assert png1[:4] == b"\x89PNG"
+
+        def post(ev):
+            req = urllib.request.Request(
+                f"{base}/event", data=json.dumps(ev).encode(),
+                method="POST")
+            urllib.request.urlopen(req, timeout=600).read()
+
+        post({"type": "begin_drag", "x": 5, "y": 5, "pan": False,
+              "about_origin": True})
+        post({"type": "drag_update", "x": 15, "y": 9})
+        post({"type": "end_drag"})
+        png2 = urllib.request.urlopen(f"{base}/frame.png", timeout=600
+                                      ).read()
+        assert png2 != png1  # the orbit moved the camera
+        post({"type": "options", "spp": 2, "denoise": False,
+              "estimator": "classic", "bg": 0.5, "show_grid": False})
+        st = json.loads(urllib.request.urlopen(f"{base}/state",
+                                               timeout=120).read())
+        assert st["options"]["spp"] == 2
+        assert st["options"]["estimator"] == "classic"
+        png3 = urllib.request.urlopen(f"{base}/frame.png", timeout=600
+                                      ).read()
+        assert png3[:4] == b"\x89PNG"
+        assert st["frames"] >= 2
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
