@@ -172,11 +172,9 @@ def run(argv: Optional[Sequence[str]] = None) -> int:
                 color, depth = rasterize_meshes(draw_meshes, cam,
                                                 background=bg)
                 kw = dict(mesh_color=color, mesh_depth=depth)
-            with timer.phase(T_RENDER):
-                img, aux = renderer.render_with_probe(cam.transform, **kw)
-                sync(img)
-            timer.frame_done()
-            return img, aux
+            return render_timed(renderer, cam.transform, timer,
+                                profile_dir=args.profile or None,
+                                probe=options.enable_probe, **kw)
         return render_timed(renderer, cam.transform, timer,
                             profile_dir=args.profile or None)
 

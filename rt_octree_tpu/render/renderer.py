@@ -914,23 +914,34 @@ def _filter_jit(weight, guidance, noisy_img):
 
 
 def render_timed(renderer: "Renderer", transform, timer,
-                 profile_dir: Optional[str] = None) -> tuple:
+                 profile_dir: Optional[str] = None, mesh_color=None,
+                 mesh_depth=None, probe: bool = False) -> tuple:
     """Split-phase render for the FPS/phase report (utils/timer.py).
 
     Phase semantics mirror render_context.hpp: T_RENDER around the
-    traversal+aux, T_NET around the GuidanceNet forward, T_FILTER around
-    the guided filtering.  ``profile_dir`` wraps the frame in a
-    jax.profiler trace (the TPU equivalent of the reference's optional
-    torch.profiler blocks, network.py:182-207) -- view with
-    tensorboard/xprof."""
+    traversal+aux (including any mesh compositing pass), T_NET around the
+    GuidanceNet forward, T_FILTER around the guided filtering; the
+    lumisphere probe overlay, when requested, rides in T_RENDER like the
+    in-kernel probe of the reference (volrend.cu:100-134).
+    ``profile_dir`` wraps the frame in a jax.profiler trace (the TPU
+    equivalent of the reference's optional torch.profiler blocks,
+    network.py:182-207) -- view with tensorboard/xprof."""
     from ..utils.timer import T_FILTER, T_NET, T_RENDER, sync
 
     if profile_dir:
         with jax.profiler.trace(profile_dir):
-            return render_timed(renderer, transform, timer)
+            return render_timed(renderer, transform, timer,
+                                mesh_color=mesh_color,
+                                mesh_depth=mesh_depth, probe=probe)
 
     opt = renderer.options
     denoise = opt.denoise and renderer.net_cfg is not None
+    R = renderer.width * renderer.height
+    has_mesh = mesh_color is not None and mesh_depth is not None
+    mc = (jnp.asarray(mesh_color, jnp.float32).reshape(R, 3)
+          if has_mesh else None)
+    md = (jnp.asarray(mesh_depth, jnp.float32).reshape(R)
+          if has_mesh else None)
     with timer.phase(T_RENDER):
         img, aux = _render_noisy_jit(
             renderer.tree, jnp.asarray(transform, jnp.float32),
@@ -939,7 +950,16 @@ def render_timed(renderer: "Renderer", transform, timer,
             width=renderer.width, height=renderer.height, fx=renderer.fx,
             fy=renderer.fy, opt=FrozenOptions.from_options(opt),
             n_chunks=renderer.n_chunks, max_steps=renderer.max_steps,
-            inc=renderer.rng.inc, schedule=renderer.schedule)
+            inc=renderer.rng.inc, schedule=renderer.schedule,
+            mesh_color=mc, mesh_depth=md)
+        if probe and opt.enable_probe:
+            from .probe import apply_probe_overlay, retrieve_cursor_lumisphere
+            coeffs = retrieve_cursor_lumisphere(
+                renderer.tree, jnp.asarray(opt.probe, jnp.float32))
+            img = apply_probe_overlay(
+                img, renderer.tree, jnp.asarray(transform, jnp.float32),
+                coeffs, basis_minmax=opt.basis_minmax,
+                probe_disp_size=opt.probe_disp_size)
         sync(aux)
     if denoise:
         with timer.phase(T_NET):
