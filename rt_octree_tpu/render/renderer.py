@@ -320,14 +320,18 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
 # @68 of 640k rays).  Brick stages count t_in steps per round but
 # deliver ~1-2 effective steps, so they are only safe where no
 # subsequent cap depends on the step count -- the final drain.
+# Brick stages count t_in (=4) per round, so their step budgets below
+# are 4x the intended round count; caps at every boundary were verified
+# against measured survivors (tools/tune_schedule3.py: 135k@183k,
+# 84k@110k, 42k@61k, 15k@29k, 7.7k@16k, 4.7k@10k).
 DEFAULT_SCHEDULE = (
     (2, 1.0, "thin"),
     (4, 2.4, "thin"),
     (10, 3.5, "thin"),
-    (12, 5.8, "thin"),
-    (12, 10.5, "thin"),
-    (12, 22.0, "thin"),
-    (16, 40.0, "thin"),
+    (24, 5.8, "brick"),
+    (32, 10.5, "brick"),
+    (40, 22.0, "brick"),
+    (48, 40.0, "brick"),
     (0, 64.0, "brick"),
 )
 
