@@ -534,25 +534,38 @@ def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
         rgb = _leaf_rgb(tree, leafs[:, 0], basis) * w[:, 0:1] / spp
         return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
-    # per-ray extra-slot counts (hit slots are prefix-packed, so the
-    # extras of ray r are exactly slots 1..ec_r)
-    ec = jnp.sum((cnts[:, 1:] > 0).astype(jnp.int32), axis=1)
-    n_extra = jnp.sum(ec)
-    cap = max(R // 2, 1)
+    # Hit slots are prefix-packed, so "any hit" == slot 0 occupied, and
+    # hitting rays typically carry SEVERAL distinct leaves (soft
+    # surfaces spread the spp thresholds), while most rays are pure
+    # background.  So: ONE compaction to hit rays, then all spp slots
+    # shaded densely there -- no scatter-ADD anywhere (scatter-add
+    # measures ~4x a gather per row on TPU; the single set-scatter
+    # writing hit rays back is the only scatter).
+    hit_mask = cnts[:, 0] > 0
+    n_hit = jnp.sum(hit_mask.astype(jnp.int32))
+    caph = max(R // 4, 1)
 
-    def two_tier(_):
-        rgb = _leaf_rgb(tree, leafs[:, 0], basis) * w[:, 0:1]
-        ray, rank, _total = packed_segments(ec, cap)
-        valid = ray < R
-        rayc = jnp.minimum(ray, R - 1)
-        slot = rank + 1
-        flat_idx = jnp.minimum(rayc * spp + slot, R * spp - 1)
-        leaf_e = jnp.take(leafs.reshape(-1), flat_idx)
-        w_e = jnp.where(valid, jnp.take(w.reshape(-1), flat_idx), 0.0)
-        basis_e = jnp.take(basis, rayc, axis=0)
-        rgb_e = _leaf_rgb(tree, leaf_e, basis_e) * w_e[:, None]
-        return rgb.at[rayc].add(
-            jnp.where(valid[:, None], rgb_e, 0.0), mode="drop")
+    def hit_compact(_):
+        hidx = fast_nonzero(hit_mask, caph, R)
+        hc = jnp.minimum(hidx, R - 1)
+        valid = (hidx < R).astype(jnp.float32)
+        leafs_h = jnp.take(leafs, hc, axis=0)
+        w_h = jnp.take(w, hc, axis=0) * valid[:, None]
+        vals = jnp.take(tree.data, leafs_h.reshape(-1), axis=0).reshape(
+            caph, spp, tree.data_dim).astype(jnp.float32)
+        if tree.basis_dim >= 0:
+            basis_h = jnp.take(basis, hc, axis=0)
+            coeffs = vals[..., :3 * tree.basis_dim].reshape(
+                caph, spp, 3, tree.basis_dim)
+            logits = jnp.einsum("hscb,hb->hsc", coeffs, basis_h,
+                                precision=jax.lax.Precision.HIGHEST)
+            rgb_per_leaf = jax.nn.sigmoid(logits)
+        else:
+            rgb_per_leaf = vals[..., :3]
+        rgb_h = jnp.einsum("hsc,hs->hc", rgb_per_leaf, w_h,
+                           precision=jax.lax.Precision.HIGHEST)
+        return jnp.zeros((R, 3), jnp.float32).at[hidx].set(
+            rgb_h, mode="drop")
 
     def dense(_):
         vals = jnp.take(tree.data, leafs.reshape(-1), axis=0).reshape(
@@ -568,7 +581,7 @@ def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
         return jnp.einsum("rsc,rs->rc", rgb_per_leaf, w,
                           precision=jax.lax.Precision.HIGHEST)
 
-    rgb = jax.lax.cond(n_extra <= cap, two_tier, dense, None) / spp
+    rgb = jax.lax.cond(n_hit <= caph, hit_compact, dense, None) / spp
     return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
 
