@@ -461,3 +461,61 @@ def test_web_viewer_end_to_end(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_cli_render_tt_dataset_e2e(tmp_path):
+    """Headless CLI over a TanksAndTemples-style pose dir (intrinsics.txt
+    + pose/*.txt, OpenCV convention -- main_headless.cpp:273-297)."""
+    import subprocess
+    import sys
+
+    from rt_octree_tpu.io import synthetic
+
+    tree_path = str(tmp_path / "tree.npz")
+    synthetic.save_npz(
+        synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4),
+        tree_path)
+    pose_dir = tmp_path / "pose"
+    pose_dir.mkdir()
+    m = np.eye(4)
+    m[:3, 3] = [0.0, 0.0, -2.5]  # OpenCV looks +z; flipped by convention
+    np.savetxt(pose_dir / "1_000.txt", m)
+    np.savetxt(tmp_path / "intrinsics.txt", np.diag([60.0, 60.0, 1, 1]))
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "rt_octree_tpu.apps.cli", "render",
+         tree_path, str(pose_dir), "--dataset", "tt", "--scale",
+         str(16 / 1920), "--warmup", "0", "--spp", "1", "--lut_levels",
+         "0", "-o", str(out)],
+        capture_output=True, text=True, timeout=1200,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    pngs = list(out.glob("*.png"))
+    assert len(pngs) == 1
+
+
+def test_cli_render_llff_dataset_e2e(tmp_path):
+    """Headless CLI over an LLFF poses_bounds.npy (factor-4 resolution,
+    recentering, NDC rays -- main_headless.cpp:298-370)."""
+    import subprocess
+    import sys
+
+    from tests.test_poses import _make_llff_pb
+    from rt_octree_tpu.io import synthetic
+
+    tree_path = str(tmp_path / "tree.npz")
+    synthetic.save_npz(
+        synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4),
+        tree_path)
+    np.save(tmp_path / "poses_bounds.npy", _make_llff_pb())
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "rt_octree_tpu.apps.cli", "render",
+         tree_path, str(tmp_path / "poses_bounds.npy"), "--dataset",
+         "llff", "--scale", str(16 / 1008), "--warmup", "0", "--spp",
+         "1", "--max_imgs", "2", "--lut_levels", "0", "-o", str(out)],
+        capture_output=True, text=True, timeout=1200,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    pngs = list(out.glob("*.png"))
+    assert len(pngs) == 2
