@@ -27,7 +27,7 @@ import numpy as np
 
 from ..core.options import RenderOptions
 from ..io.n3tree import BasisFormat
-from ..ops.compaction import fast_nonzero, packed_segments
+from ..ops.compaction import fast_nonzero
 from ..models.guidance_net import GuidanceNetCompact, GuidanceNetConfig
 from ..ops.filtering import guided_filter
 from ..ops.sh import eval_asg_basis, eval_sg_basis, eval_sh_basis
