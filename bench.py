@@ -82,6 +82,11 @@ def quality_report(r, dtree):
 
     qd = os.path.join(CACHE, "quality_ds")
     tf = os.path.join(qd, "transforms_test.json")
+    if not os.path.exists(tf):
+        # committed minimal kit (one held-out pose + classic-marcher GT)
+        qd = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "quality")
+        tf = os.path.join(qd, "transforms_test.json")
     if not (os.path.exists(tf) and r.net_cfg is not None):
         print("[bench] quality: no quality_ds; skipping PSNR",
               file=sys.stderr)
@@ -143,6 +148,12 @@ def main():
         cands = sorted(glob.glob(
             os.path.join(CACHE, "quality_ds", "work", "ts_*.gnet")))
         gnet_path = cands[-1] if cands else ""
+    if not gnet_path:
+        # committed fallback: the canonical training run's export
+        # (benchmarks/quality -- survives .bench_cache wipes)
+        kit = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "quality", "trained.gnet")
+        gnet_path = kit if os.path.exists(kit) else ""
     if gnet_path and os.path.exists(gnet_path):
         r.set_denoiser(gnet_path)
         print(f"[bench] trained denoiser: {gnet_path}", file=sys.stderr)
