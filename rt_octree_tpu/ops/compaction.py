@@ -59,6 +59,12 @@ def packed_segments(counts: jax.Array, size: int):
     scatter here is N rows instead of N*K (the mask version's cost is
     dominated by its full-length scatter), plus a running-max
     forward-fill over the packed side.
+
+    Currently a tested building block without a production caller: the
+    shade path that used it moved to a single hit-ray compaction
+    (render/renderer.py _shade), but the primitive (and its block-scan
+    helpers) is the planned mechanism for any future segment-packed
+    gather stage.
     """
     n = counts.shape[0]
     offs = _fast_cumsum_ex(counts)

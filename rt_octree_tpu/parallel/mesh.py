@@ -107,7 +107,13 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
     R = width * height
     spp = opt.spp
 
+    classic = getattr(opt, "estimator", "rt") == "classic"
+
     def local_trace(tree_arrays, d, v, c, dst, tm):
+        if classic:
+            from ..render.renderer import trace_rays_classic
+            return trace_rays_classic(tree_arrays, d, v, c, opt,
+                                      tmax_bg=tm, max_steps=max_steps)
         return trace_rays(tree_arrays, d, v, c, dst, opt, tmax_bg=tm,
                           max_steps=max_steps, schedule=schedule)
 
@@ -134,16 +140,9 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
         tmax_bg = jnp.full((R,), 1e9, jnp.float32)
 
         out = sharded_trace(tree_arrays, wdirs, vdirs, wcens, dst, tmax_bg)
-
-        nalpha = 1.0 - out[:, 3]
-        rgb = out[:, :3] + opt.background_brightness * nalpha[:, None]
-        out = out.at[:, :3].set(rgb)
-        aux = jnp.concatenate([out, out * out], axis=-1)
-        aux = aux.T.reshape(8, height, width)
-        img = jnp.concatenate(
-            [rgb, jnp.ones((R, 1), jnp.float32)], axis=-1).reshape(
-            height, width, 4)
-        return img, aux
+        from ..render.renderer import composite_and_aux
+        return composite_and_aux(out, width, height,
+                                 opt.background_brightness)
 
     tree = jax.device_put(tree, repl)
     return functools.partial(frame, tree)

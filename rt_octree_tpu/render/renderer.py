@@ -379,7 +379,8 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
     d_t = d_scaled * delta_scale[:, None]
     if tmax_bg is None:
         tmax_bg = jnp.full((R,), 1e9, jnp.float32)
-    tmax_bg = tmax_bg * delta_scale
+    # world depth -> tree-space ray parameter (rt_core.cuh:208 divides)
+    tmax_bg = tmax_bg / delta_scale
 
     invdir = 1.0 / (d_t + 1e-9)
     tmin, tmax = _dda_world(cen_t, invdir, opt.render_bbox)
@@ -450,6 +451,11 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
     if last:
         steps = max_steps
 
+    # NOTE: caps are deliberately NOT rounded to fast_nonzero's 512
+    # block -- at sub-640k widths the jnp.nonzero fallback measured
+    # FASTER than the scatter-based fast path (bench: 217.5 vs 232.8
+    # ms/frame with rounded caps), so non-multiple widths taking the
+    # fallback is the better configuration.
     cap = max(int(base_width // frac), 1) if frac > 1 else R
 
     def run_here(consts, state):
@@ -519,11 +525,11 @@ def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
     """Per-distinct-leaf basis shading over the prefix-packed [R, SPP]
     hit slots.
 
-    Two-tier gather: slot 0 is shaded for every ray (one [R]-row gather);
-    slots >= 1 are sparse (most rays consume all SPP thresholds in 1-2
-    distinct leaves), so they are compacted to R/2 lanes and scatter-added
-    back.  Falls back to the dense [R*SPP]-row gather if a frame ever has
-    more multi-leaf slots than the cap."""
+    One compaction to HIT rays (slot 0 occupied == any hit; typically a
+    small fraction of the frame), then every spp slot of those rays is
+    shaded densely and the results set-scattered back -- no scatter-add
+    anywhere.  Frames with more hit rays than the R/4 cap fall back to
+    the dense [R*SPP]-row gather (slower, never wrong)."""
     R = vdirs.shape[0]
     basis = _eval_masked_basis(tree, vdirs, opt) if tree.basis_dim >= 0 \
         else jnp.zeros((R, 0), jnp.float32)
@@ -544,7 +550,7 @@ def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
     hit_mask = cnts[:, 0] > 0
     n_hit = jnp.sum(hit_mask.astype(jnp.int32))
     # bench-scene hits ~11% of rays; overflow poses fall back to the
-    # dense branch (correct, just slower).  R//5 measured no better.
+    # dense branch (correct, just slower)
     caph = max(R // 4, 1)
 
     def hit_compact(_):
@@ -612,7 +618,7 @@ def trace_rays_classic(tree: DeviceTree, dirs, vdirs, cens,
     d_t = d_scaled * delta_scale[:, None]
     if tmax_bg is None:
         tmax_bg = jnp.full((R,), 1e9, jnp.float32)
-    tmax_bg = tmax_bg * delta_scale
+    tmax_bg = tmax_bg / delta_scale  # rt.frag:228 divides
 
     invdir = 1.0 / (d_t + 1e-9)
     tmin, tmax = _dda_world(cen_t, invdir, opt.render_bbox)
@@ -721,18 +727,20 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
     else:
         out = render_chunk((wdirs, vdirs, wcens, dst, tmax_bg))
 
-    # compositing (volrend.cu:173-184): background brightness offscreen,
-    # rasterized mesh color when a mesh pass is present
+    return composite_and_aux(out, width, height,
+                             opt.background_brightness, mesh_color)
+
+
+def composite_and_aux(out, width: int, height: int, background, mesh_color=None):
+    """Background/mesh compositing + the 8-channel aux buffer
+    (volrend.cu:173-202).  out: [R,4] premultiplied rgb+alpha."""
+    R = width * height
     nalpha = 1.0 - out[:, 3]
-    behind = (mesh_color if mesh_color is not None
-              else opt.background_brightness)
+    behind = mesh_color if mesh_color is not None else background
     rgb = out[:, :3] + behind * nalpha[:, None]
     out = out.at[:, :3].set(rgb)
-
-    # aux buffer [8, H, W]: r,g,b,a,r2,g2,b2,a2 (volrend.cu:186-202)
     aux = jnp.concatenate([out, out * out], axis=-1)  # [R, 8]
     aux = aux.T.reshape(8, height, width)
-
     img = jnp.concatenate(
         [rgb, jnp.ones((R, 1), jnp.float32)], axis=-1).reshape(
         height, width, 4)
@@ -940,8 +948,9 @@ def render_timed(renderer: "Renderer", transform, timer,
     Phase semantics mirror render_context.hpp: T_RENDER around the
     traversal+aux (including any mesh compositing pass), T_NET around the
     GuidanceNet forward, T_FILTER around the guided filtering; the
-    lumisphere probe overlay, when requested, rides in T_RENDER like the
-    in-kernel probe of the reference (volrend.cu:100-134).
+    lumisphere probe overlay, when requested, is applied to the final
+    (possibly denoised) image, matching render_with_probe and keeping
+    the filter from blurring the overlay.
     ``profile_dir`` wraps the frame in a jax.profiler trace (the TPU
     equivalent of the reference's optional torch.profiler blocks,
     network.py:182-207) -- view with tensorboard/xprof."""
@@ -971,14 +980,6 @@ def render_timed(renderer: "Renderer", transform, timer,
             n_chunks=renderer.n_chunks, max_steps=renderer.max_steps,
             inc=renderer.rng.inc, schedule=renderer.schedule,
             mesh_color=mc, mesh_depth=md)
-        if probe and opt.enable_probe:
-            from .probe import apply_probe_overlay, retrieve_cursor_lumisphere
-            coeffs = retrieve_cursor_lumisphere(
-                renderer.tree, jnp.asarray(opt.probe, jnp.float32))
-            img = apply_probe_overlay(
-                img, renderer.tree, jnp.asarray(transform, jnp.float32),
-                coeffs, basis_minmax=opt.basis_minmax,
-                probe_disp_size=opt.probe_disp_size)
         sync(aux)
     if denoise:
         with timer.phase(T_NET):
@@ -988,5 +989,13 @@ def render_timed(renderer: "Renderer", transform, timer,
         with timer.phase(T_FILTER):
             img = _filter_jit(weight, guidance, img)
             sync(img)
+    if probe and opt.enable_probe:
+        from .probe import apply_probe_overlay, retrieve_cursor_lumisphere
+        coeffs = retrieve_cursor_lumisphere(
+            renderer.tree, jnp.asarray(opt.probe, jnp.float32))
+        img = apply_probe_overlay(
+            img, renderer.tree, jnp.asarray(transform, jnp.float32),
+            coeffs, basis_minmax=opt.basis_minmax,
+            probe_disp_size=opt.probe_disp_size)
     timer.frame_done()
     return img, aux

@@ -273,3 +273,55 @@ def test_empty_space_skip_is_exact(tree):
     np.testing.assert_allclose(img_skip_oracle, img_plain_oracle, atol=2e-5)
     # device skip march vs the plain oracle
     np.testing.assert_allclose(np.asarray(img), img_plain_oracle, atol=2e-5)
+
+
+def test_mesh_depth_clip_matches_oracle(tree):
+    """tmax_bg (mesh-depth clipping) must convert world depth to the
+    tree-space ray parameter by DIVIDING by delta_scale
+    (rt_core.cuh:208); regression test for the device path."""
+    from rt_octree_tpu.core.camera import camera_rays
+    from rt_octree_tpu.core.oracle import trace_ray
+    from rt_octree_tpu.render.renderer import make_sorted_dst, trace_rays
+    from rt_octree_tpu.core.options import RenderOptions as RO
+    from rt_octree_tpu.render.renderer import FrozenOptions
+    import jax.numpy as jnp
+
+    cam = make_camera(12, 12)
+    opt = RO(spp=2, denoise=False)
+    dt = upload_tree(tree, lut_levels=0, brick=False)
+    dirs, origin = camera_rays(cam)
+    R = dirs.shape[0]
+    # clip every ray at a depth that cuts through the shell
+    depth = np.linspace(4.2, 5.2, R).astype(np.float32)
+
+    rng = Pcg32(20230418)
+    outs = np.zeros((R, 4), np.float32)
+    for i in range(R):
+        r = rng.copy()
+        r.advance(i * opt.spp)
+        cen = tree.offset + tree.scale * origin
+        outs[i] = trace_ray(tree, dirs[i], dirs[i], cen, opt,
+                            float(depth[i]), r, opt.spp)
+
+    uniforms = np.zeros((R, opt.spp), np.float32)
+    for i in range(R):
+        r = rng.copy()
+        r.advance(i * opt.spp)
+        uniforms[i] = [r.next_float() for _ in range(opt.spp)]
+    dst = make_sorted_dst(jnp.asarray(uniforms))
+    out_dev = np.asarray(trace_rays(
+        dt, jnp.asarray(dirs), jnp.asarray(dirs),
+        jnp.asarray(np.tile(origin, (R, 1))), dst,
+        FrozenOptions.from_options(opt),
+        tmax_bg=jnp.asarray(depth), max_steps=512))
+    np.testing.assert_allclose(out_dev, outs, atol=2e-5)
+    # the clip must actually bite somewhere (else the test is vacuous)
+    r2 = rng.copy()
+    full = np.zeros((R, 4), np.float32)
+    for i in range(R):
+        r = r2.copy()
+        r.advance(i * opt.spp)
+        cen = tree.offset + tree.scale * origin
+        full[i] = trace_ray(tree, dirs[i], dirs[i], cen, opt, 1e9, r,
+                            opt.spp)
+    assert np.abs(full - outs).max() > 1e-3
