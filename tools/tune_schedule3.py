@@ -111,9 +111,10 @@ def main():
     # (the occupied fringe is finely subdivided there, bricks deliver ~2
     # steps/round); divisors must hold for BRICK survivor behavior --
     # measured by this very probe.
+    # the shipped DEFAULT_SCHEDULE, in rounds
     SCHED = ((2, 1.0, "thin"), (4, 2.4, "thin"), (10, 3.5, "thin"),
              (6, 5.8, "brick"), (8, 10.5, "brick"), (10, 22.0, "brick"),
-             (12, 40.0, "brick"), (60, 64.0, "brick"))
+             (12, 40.0, "brick"), (120, 64.0, "brick"))
 
     bundle = bundle0
     total = 0.0
