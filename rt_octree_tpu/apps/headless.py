@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default="", metavar="DIR",
                    help="write a jax.profiler trace of the measured "
                         "frames into DIR (view with xprof/tensorboard)")
+    p.add_argument("--auto_schedule", action="store_true",
+                   help="probe this scene's survivor curve on the loaded "
+                        "poses and tune the march compaction schedule "
+                        "(replaces the bench-scene-tuned defaults)")
     return p
 
 
@@ -143,7 +147,15 @@ def run(argv: Optional[Sequence[str]] = None) -> int:
         options.probe = tuple(float(x) for x in args.probe.split(","))
 
     dt = upload_tree(tree, lut_levels=args.lut_levels)
-    renderer = Renderer(dt, width, height, fx, fy, options=options)
+    kw = {}
+    if args.auto_schedule:
+        from ..render.schedule import auto_schedule
+        probe_poses = poses[:: max(len(poses) // 3, 1)][:3]
+        kw["schedule"] = auto_schedule(dt, probe_poses, options, fx, fy,
+                                       width, height)
+        print(f"[rtoctree] auto schedule: {kw['schedule']}",
+              file=sys.stderr)
+    renderer = Renderer(dt, width, height, fx, fy, options=options, **kw)
     if args.gnet:
         renderer.set_denoiser(args.gnet)
     if options.show_grid:

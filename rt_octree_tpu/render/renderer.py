@@ -219,6 +219,13 @@ def _march_body(tree: DeviceTree, opt, spp: int, consts, state):
                         sigma, state[0])
 
 
+# subcell-select lowering inside brick rounds: "onehot" (two [R,64]
+# masked sums -- the measured default) or "dynamic" (take_along_axis,
+# i.e. an in-row 2-D gather).  Module-level so the schedule tuner can
+# A/B it; jit traces read it at trace time.
+_BRICK_SELECT = "onehot"
+
+
 def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
                       t_in: int = 4):
     """One brick round: a single 520-byte gather fetches the 4x4x4 leaf
@@ -228,35 +235,70 @@ def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
     latency-bound march tail pays for.  Bit-identical to the thin path:
     the block holds the same (ptr, depth, sigma) records the full-depth
     LUT would return, and subcell selection reproduces floor(pos*res)
-    exactly (power-of-two scaling)."""
+    exactly (power-of-two scaling).
+
+    The per-sub-step bookkeeping is BATCHED: the geometric walk (subcell
+    select, DDA exit, optical-depth fold) runs as an exact sequential
+    fold over [R] scalars -- the same left-to-right f32 association as
+    rt_core.cuh:241-270, so numerics match the oracle bit-for-bit --
+    while the threshold-crossing logic (the [R,spp] compares and slot
+    writes that dominated the sequential body) runs ONCE over a
+    [R,t_in,spp] block after the walk.  Recording is gated per sub-step
+    by (crossings c_k > 0) with the running count n_eff carried only
+    across sigma steps, reproducing `c = max(n_leq - sppc, 0)` of
+    _step_update exactly (incl. the degenerate dst==0 case).  Rays that
+    consume all SPP thresholds mid-round keep walking geometrically, but
+    n is capped at spp so no further crossings record and the ray exits
+    dead either way -- only dead-ray t/src over-advance, which no later
+    round reads."""
     (cen_t, d_t, invdir, delta_scale, dst, tmax) = consts
-    active = state[0]
-    R = active.shape[0]
+    (active0, t, src, sppc, shn, leafs, cnts) = state
     L = tree.brick_levels
     resL = tree.N ** L
     iota64 = jnp.arange(64, dtype=jnp.int32)
+    iota_spp = jnp.arange(spp, dtype=jnp.int32)
+    sigma_thresh = jnp.float32(opt.sigma_thresh)
+    step_size = jnp.float32(opt.step_size)
 
-    t = state[1]
     pos = jnp.clip(cen_t + t[:, None] * d_t, 0.0, 1.0 - 1e-6)
     cell = jnp.clip(jnp.floor(pos * resL).astype(jnp.int32), 0, resL - 1)
     flat = (cell[:, 0] * resL + cell[:, 1]) * resL + cell[:, 2]
-    row = jnp.take(tree.brick, jnp.where(active, flat, 0), axis=0)
-    row_sig = row[:, :64]  # [R, 64] f32 bits of subcell leaf sigmas
-    row_pck = row[:, 64:128]  # [R, 64] packed (depth<<27 | ptr)
+    if tree.brick_indirect:
+        # deep trees: LUT row first (8B), then the sparse brick row for
+        # cells still internal at lut_levels; shallow cells synthesize
+        # their brick from the LUT row itself (one leaf fills the cell)
+        lrow = jnp.take(tree.lut, jnp.where(active0, flat, 0), axis=0)
+        e, lane1 = lrow[:, 0], lrow[:, 1]
+        internal = ((e >> LUT_PTR_BITS) & LUT_DEPTH_SENTINEL) == \
+            LUT_DEPTH_SENTINEL
+        bidx = jnp.where(active0 & internal, lane1 - 1, 0)
+        brow = jnp.take(tree.brick, bidx, axis=0)
+        row_sig = jnp.where(internal[:, None], brow[:, :64],
+                            lane1[:, None])
+        row_pck = jnp.where(internal[:, None], brow[:, 64:128],
+                            e[:, None])
+    else:
+        row = jnp.take(tree.brick, jnp.where(active0, flat, 0), axis=0)
+        row_sig = row[:, :64]  # [R, 64] f32 bits of subcell leaf sigmas
+        row_pck = row[:, 64:128]  # [R, 64] packed (depth<<27 | ptr)
 
-    in_cell = active
+    in_cell = active0
+    ptr_ks, s_ks, hs_ks = [], [], []
     for _ in range(t_in):
-        t = state[1]
         pos = jnp.clip(cen_t + t[:, None] * d_t, 0.0, 1.0 - 1e-6)
         sub4 = jnp.clip(
             jnp.floor((pos * resL - cell.astype(jnp.float32)) * 4.0
                       ).astype(jnp.int32), 0, 3)
         idx64 = (sub4[:, 0] * 4 + sub4[:, 1]) * 4 + sub4[:, 2]
-        onehot = (iota64[None, :] == idx64[:, None]).astype(jnp.int32)
-        sel_sig = jnp.sum(row_sig * onehot, axis=1)
-        sel_pck = jnp.sum(row_pck * onehot, axis=1)
-        sig_bits = sel_sig
-        packed = sel_pck
+        if _BRICK_SELECT == "dynamic":
+            packed = jnp.take_along_axis(row_pck, idx64[:, None],
+                                         axis=1)[:, 0]
+            sig_bits = jnp.take_along_axis(row_sig, idx64[:, None],
+                                           axis=1)[:, 0]
+        else:
+            onehot = (iota64[None, :] == idx64[:, None]).astype(jnp.int32)
+            packed = jnp.sum(row_pck * onehot, axis=1)
+            sig_bits = jnp.sum(row_sig * onehot, axis=1)
         depth = (packed >> LUT_PTR_BITS) & LUT_DEPTH_SENTINEL
         sub_ptr = packed & ((1 << LUT_PTR_BITS) - 1)
         cube = jnp.exp2(depth.astype(jnp.float32))
@@ -264,16 +306,52 @@ def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
         local = local - jnp.floor(local)
         sigma = jax.lax.bitcast_convert_type(sig_bits, jnp.float32)
 
-        mask = in_cell & state[0]
+        mask = in_cell
         t_sub = _dda_unit(local, invdir) / cube
-        state = _step_update(opt, spp, consts, state, sub_ptr, t_sub,
-                             sigma, mask)
-        # still inside the same level-L cell?
-        pos_n = jnp.clip(cen_t + state[1][:, None] * d_t, 0.0, 1.0 - 1e-6)
+        delta_t = t_sub + step_size
+        hs = (sigma > sigma_thresh) & mask
+        src = jnp.where(hs, src + delta_t * delta_scale * sigma, src)
+        t = jnp.where(mask, t + delta_t, t)
+        ptr_ks.append(sub_ptr)
+        s_ks.append(src)
+        hs_ks.append(hs)
+        # still inside the same level-L cell (and not past tmax)?
+        pos_n = jnp.clip(cen_t + t[:, None] * d_t, 0.0, 1.0 - 1e-6)
         cell_n = jnp.clip(jnp.floor(pos_n * resL).astype(jnp.int32), 0,
                           resL - 1)
-        in_cell = mask & state[0] & jnp.all(cell_n == cell, axis=1)
-    return state
+        in_cell = mask & (t < tmax) & jnp.all(cell_n == cell, axis=1)
+
+    # ---- batched crossing bookkeeping over the walked sub-steps ----
+    s_all = jnp.stack(s_ks, axis=1)                       # [R, t_in]
+    hs_all = jnp.stack(hs_ks, axis=1)                     # [R, t_in]
+    ptr_all = jnp.stack(ptr_ks, axis=1)                   # [R, t_in]
+    n_all = jnp.sum((dst[:, None, :] <= s_all[:, :, None]
+                     ).astype(jnp.int32), axis=2)         # [R, t_in]
+    # running recorded count: advances only on sigma steps (int fold,
+    # exact)
+    n_eff, n_effs = sppc, []
+    for k in range(t_in):
+        n_eff = jnp.where(hs_all[:, k], n_all[:, k], n_eff)
+        n_effs.append(n_eff)
+    n_eff_all = jnp.stack(n_effs, axis=1)                 # [R, t_in]
+    n_prev = jnp.concatenate([sppc[:, None], n_eff_all[:, :-1]], axis=1)
+    c_all = n_eff_all - n_prev                            # [R, t_in] >= 0
+    rec = c_all > 0
+    slot = shn[:, None] + jnp.cumsum(rec.astype(jnp.int32), axis=1) - \
+        rec.astype(jnp.int32)                             # exclusive scan
+    onehot_s = (slot[:, :, None] == iota_spp[None, None, :]) & \
+        rec[:, :, None]                                   # [R, t_in, spp]
+    wrote = jnp.any(onehot_s, axis=1)                     # [R, spp]
+    oh = onehot_s.astype(jnp.int32)
+    leafs = jnp.where(wrote, jnp.sum(ptr_all[:, :, None] * oh, axis=1),
+                      leafs)
+    cnts = jnp.where(wrote,
+                     jnp.sum(c_all[:, :, None].astype(jnp.float32) *
+                             oh.astype(jnp.float32), axis=1), cnts)
+    shn = shn + jnp.sum(rec.astype(jnp.int32), axis=1)
+    sppc = n_effs[-1]
+    active = active0 & (t < tmax) & (sppc < spp)
+    return (active, t, src, sppc, shn, leafs, cnts)
 
 
 def _march_loop(tree, opt, spp, consts, state, steps: int,
@@ -324,6 +402,12 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
 # are 4x the intended round count; caps at every boundary were verified
 # against measured survivors (tools/tune_schedule3.py: 135k@183k,
 # 84k@110k, 42k@61k, 15k@29k, 7.7k@16k, 4.7k@10k).
+# Stages may carry an optional 4th element: the brick sub-step count
+# t_in (default 4).  Mid stages measured best at t_in=4 (sub-step VPU
+# work scales with t_in while cell-exit waste cuts the delivered steps);
+# the final DRAIN measured best at t_in=12 (22.5 vs 32.9 ms staged --
+# tail rays sit in finely-subdivided cells, so exit waste is low and
+# fewer rounds directly cut the per-round floor).
 DEFAULT_SCHEDULE = (
     (2, 1.0, "thin"),
     (4, 2.4, "thin"),
@@ -332,18 +416,21 @@ DEFAULT_SCHEDULE = (
     (32, 10.5, "brick"),
     (40, 22.0, "brick"),
     (48, 40.0, "brick"),
-    (0, 64.0, "brick"),
+    (0, 64.0, "brick", 12),
 )
 
 
 def _normalize_schedule(schedule):
-    """Accept legacy (steps, divisor) pairs: stage 0 was full-width thin,
-    later stages brick (the round-1 convention)."""
+    """Accept legacy (steps, divisor) pairs (stage 0 full-width thin,
+    later stages brick -- the round-1 convention) and 3-tuples without
+    t_in; canonical form is (steps, divisor, kind, t_in)."""
     out = []
     for i, st in enumerate(schedule):
         if len(st) == 2:
             steps, div = st
-            out.append((steps, div, "thin" if i == 0 else "brick"))
+            out.append((steps, div, "thin" if i == 0 else "brick", 4))
+        elif len(st) == 3:
+            out.append(tuple(st) + (4,))
         else:
             out.append(tuple(st))
     return tuple(out)
@@ -371,8 +458,20 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
         schedule = (((phase1_steps, 1), (0, compact_frac))
                     if compact_frac > 1 else ((max_steps, 1),))
     spp = dst.shape[1]
-    R = dirs.shape[0]
 
+    consts, state = _init_march(tree, dirs, cens, dst, opt, tmax_bg)
+    leafs, cnts = _march_schedule(tree, opt, spp, consts, state,
+                                  tuple(schedule), max_steps)
+
+    # ---- color accumulation (rt_core.cuh:272-332) ----
+    return _shade(tree, vdirs, leafs, cnts, opt, spp)
+
+
+def _init_march(tree: DeviceTree, dirs, cens, dst, opt, tmax_bg=None):
+    """World rays -> tree-space march (consts, state) (the setup prefix
+    of rt_core.cuh:195-240: scale/offset, delta_scale, bbox DDA)."""
+    spp = dst.shape[1]
+    R = dirs.shape[0]
     cen_t = tree.offset[None, :] + tree.scale[None, :] * cens
     d_scaled = dirs * tree.scale[None, :]
     delta_scale = 1.0 / jnp.linalg.norm(d_scaled, axis=-1)
@@ -397,12 +496,7 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
         jnp.zeros((R, spp), jnp.int32),
         jnp.zeros((R, spp), jnp.float32),
     )
-
-    leafs, cnts = _march_schedule(tree, opt, spp, consts, state,
-                                  tuple(schedule), max_steps)
-
-    # ---- color accumulation (rt_core.cuh:272-332) ----
-    return _shade(tree, vdirs, leafs, cnts, opt, spp)
+    return consts, state
 
 
 def _pack_bundle(consts, state):
@@ -442,7 +536,7 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
     survivor count overflows its cap falls back to finishing the whole
     march at the current width -- slower, never wrong."""
     schedule = _normalize_schedule(schedule)
-    (steps, frac, kind), rest = schedule[0], schedule[1:]
+    (steps, frac, kind, t_in), rest = schedule[0], schedule[1:]
     R = state[0].shape[0]
     if base_width is None:
         base_width = R
@@ -460,7 +554,7 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
 
     def run_here(consts, state):
         st = _march_loop(tree, opt, spp, consts, state, steps,
-                         unroll=4 if last else 1, brick=brick)
+                         unroll=4 if last else 1, brick=brick, t_in=t_in)
         if last:
             return st[5], st[6]
         return _march_schedule(tree, opt, spp, consts, st, rest,
@@ -486,7 +580,7 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
 
     def full(_):
         st = _march_loop(tree, opt, spp, consts, state, max_steps,
-                         unroll=2, brick=brick)
+                         unroll=2, brick=brick, t_in=t_in)
         return st[5], st[6]
 
     return jax.lax.cond(n_active <= cap, compacted, full, None)

@@ -1,0 +1,96 @@
+"""Per-scene schedule auto-tuning + overflow-fallback behavior."""
+
+import numpy as np
+import pytest
+
+from rt_octree_tpu.core.camera import Camera
+from rt_octree_tpu.core.options import RenderOptions
+from rt_octree_tpu.io import synthetic
+from rt_octree_tpu.ops.traversal import upload_tree
+
+
+@pytest.fixture(scope="module")
+def scene():
+    tree = synthetic.make_synthetic_tree("shell", depth=4, basis_dim=4)
+    dt = upload_tree(tree, lut_levels=4)
+    return tree, dt
+
+
+def test_probe_and_derive(scene):
+    from rt_octree_tpu.render.schedule import (
+        CHECKPOINTS, auto_schedule, derive_schedule, probe_survivors)
+
+    tree, dt = scene
+    cam = Camera(width=64, height=64, fx=80.0, fy=80.0)
+    opt = RenderOptions(spp=2, denoise=False)
+    fracs = probe_survivors(dt, [cam.transform[:3]], opt, 80.0, 80.0,
+                            64, 64, probe_res=32)
+    assert fracs.shape == (len(CHECKPOINTS),)
+    # survivor fraction is monotone nonincreasing and sane
+    assert np.all(np.diff(fracs) <= 1e-9)
+    assert fracs[0] <= 1.0
+
+    sched = derive_schedule(fracs)
+    assert sched[0][1] == 1.0
+    divs = [s[1] for s in sched]
+    assert all(b >= a for a, b in zip(divs, divs[1:]))  # monotone
+    # caps hold the measured survivors with margin
+    R = 32 * 32
+    for frac, (steps, div, kind) in zip(fracs, sched[1:]):
+        assert frac * R <= R / div + 1e-6 or div == divs[0]
+
+    sched2 = auto_schedule(dt, cam.transform, opt, 80.0, 80.0, 64, 64,
+                           probe_res=32)
+    assert len(sched2) == len(CHECKPOINTS) + 1
+
+
+def test_auto_schedule_render_matches_default(scene):
+    """The tuned schedule changes PERFORMANCE only: output must be
+    bit-near the default-schedule render (exactness is never traded)."""
+    from rt_octree_tpu.render.renderer import Renderer
+    from rt_octree_tpu.render.schedule import auto_schedule
+
+    tree, dt = scene
+    W = H = 40
+    cam = Camera(width=W, height=H, fx=50.0, fy=50.0)
+    opt = RenderOptions(spp=2, denoise=False)
+    sched = auto_schedule(dt, cam.transform, opt, 50.0, 50.0, W, H,
+                          probe_res=24)
+    r_def = Renderer(dt, W, H, 50.0, 50.0, options=opt, max_steps=512)
+    r_tuned = Renderer(dt, W, H, 50.0, 50.0, options=opt, max_steps=512,
+                       schedule=sched)
+    img0 = np.asarray(r_def.render(cam.transform)[0])
+    img1 = np.asarray(r_tuned.render(cam.transform)[0])
+    np.testing.assert_allclose(img1, img0, atol=2e-6)
+
+
+def test_overflow_pose_correct_and_bounded(scene):
+    """A pose engineered to overflow the early stage caps (camera inside
+    the shell: every ray starts occupied) must fall back to the
+    at-width drain, stay oracle-exact, and terminate via the while-loop
+    early exit (cost ~ the rays actually marched, not max_steps)."""
+    import time
+
+    from rt_octree_tpu.core.oracle import render_frame_oracle
+    from rt_octree_tpu.render.renderer import Renderer
+    from rt_octree_tpu.utils.rng import Pcg32
+
+    tree, dt = scene
+    W = H = 24
+    # aggressive divisors so the engineered pose overflows stage 1
+    tight = ((2, 1.0, "thin"), (4, 64.0, "thin"), (0, 128.0, "brick"))
+    opt = RenderOptions(spp=2, denoise=False)
+    cam = Camera(width=W, height=H, fx=30.0, fy=30.0,
+                 center=np.array([0.05, 0.0, 0.0], np.float32))
+    r = Renderer(dt, W, H, 30.0, 30.0, options=opt, schedule=tight,
+                 max_steps=4096)
+    img = np.asarray(r.render(cam.transform)[0])  # includes jit compile
+    t0 = time.time()
+    img = np.asarray(r.render(cam.transform)[0])
+    wall = time.time() - t0
+    ref, _ = render_frame_oracle(tree, cam, opt, Pcg32(20230418))
+    np.testing.assert_allclose(img, ref, atol=2e-5)
+    # generous CI-safe bound: the while-loop early exit must keep the
+    # fallback drain at ~the rays actually marched, nowhere near
+    # max_steps x width (which would take minutes on CPU)
+    assert wall < 60.0
