@@ -150,6 +150,27 @@ def blob_sigma(pos: np.ndarray, seed: int = 0, n_blobs: int = 24,
     return out
 
 
+def solid_sigma(pos: np.ndarray, seed: int = 3,
+                amplitude: float = 600.0) -> np.ndarray:
+    """HARD-surface scene: union of solid spheres + boxes with constant
+    high sigma inside and zero outside -- the NeRF-synthetic "lego"
+    occupancy class (opaque surfaces; rays consume their SPP thresholds
+    within a couple of leaf crossings after first contact), the scene
+    family the 30 FPS target was set on.  Unlike ``shell_sigma`` there
+    is no soft low-sigma fringe for survivor rays to graze."""
+    rng = np.random.default_rng(seed)
+    p = pos.astype(np.float32)
+    inside = np.zeros(p.shape[0], bool)
+    for c, r in zip(rng.uniform(0.3, 0.7, (5, 3)),
+                    rng.uniform(0.06, 0.16, 5)):
+        inside |= np.linalg.norm(p - c.astype(np.float32), axis=-1) < r
+    for c, h in zip(rng.uniform(0.3, 0.7, (3, 3)),
+                    rng.uniform(0.04, 0.12, (3, 3))):
+        inside |= np.all(np.abs(p - c.astype(np.float32)) <
+                         h.astype(np.float32), axis=-1)
+    return np.where(inside, amplitude, 0.0).astype(np.float32)
+
+
 def position_color(pos: np.ndarray, basis_dim: int) -> np.ndarray:
     """SH coefficients: DC from position (pre-sigmoid logits), small
     deterministic higher-order terms."""
@@ -180,7 +201,38 @@ def make_synthetic_tree(kind: str = "shell", depth: int = 7,
     if kind == "blobs":
         return build_tree(blob_sigma, position_color, depth=depth,
                           basis_dim=basis_dim, sigma_eps=1e-2)
+    if kind == "solid":
+        return build_tree(solid_sigma, position_color, depth=depth,
+                          basis_dim=basis_dim, sigma_eps=1e-2)
     raise ValueError(kind)
+
+
+def make_deep_chain_tree(depth: int, basis_dim: int = 1) -> N3Tree:
+    """Tiny tree of arbitrary depth: one node per level, slot 0
+    subdivides into the next level, the other 7 slots are leaves with
+    graded sigma/DC color.  Exercises deep-tree machinery (sparse
+    bricks, continued descent) without a huge occupancy grid."""
+    data_dim = 3 * basis_dim + 1
+    cap = depth
+    child = np.zeros((cap, 8), np.int32)
+    data = np.zeros((cap, 8, data_dim), np.float16)
+    C0 = 0.28209479177387814
+    for l in range(cap):
+        if l + 1 < cap:
+            child[l, 0] = 1  # skip to the next node
+        data[l, :, data_dim - 1] = np.linspace(0.4, 3.0, 8) * (
+            1.0 + 0.1 * l)
+        for c in range(3):
+            data[l, :, c * basis_dim] = (np.linspace(-1.5, 1.5, 8) / C0
+                                         ) * (1 if c != 1 else -1)
+    return N3Tree(
+        data=data.reshape(-1, data_dim),
+        child=child.reshape(-1),
+        offset=np.asarray((0.5, 0.5, 0.5), np.float32),
+        scale=np.asarray((0.5, 0.5, 0.5), np.float32),
+        N=2, data_dim=data_dim,
+        data_format=DataFormat(BasisFormat.SH, basis_dim),
+        capacity=cap, max_depth=depth)
 
 
 def tree_to_npz_dict(tree: N3Tree) -> dict:

@@ -56,10 +56,21 @@ class DeviceTree:
     max_depth: int = flax.struct.field(pytree_node=False)
     lut_levels: int = flax.struct.field(pytree_node=False)
     brick_levels: int = flax.struct.field(pytree_node=False, default=0)
+    # Deep trees (max_depth > dense-brick capacity): the brick table is
+    # SPARSE -- one row per LUT cell still internal at lut_levels, found
+    # through the cell's LUT sigma lane (brick_idx + 1; the +1 keeps the
+    # lane positive so the skip-distance transform treats internal cells
+    # as occupied).  Shallow cells synthesize their brick from the LUT
+    # row itself (a leaf covers the whole cell).
+    brick_indirect: bool = flax.struct.field(pytree_node=False,
+                                             default=False)
     # empty-space skip radius cap: when > 0, the LUT's sigma lane of empty
     # cells holds the Chebyshev distance (in cells, 1..cap) to the nearest
-    # occupied cell, encoded as an f32 denormal (bits 1..255 < any
-    # sigma_thresh >= 0, so the threshold test is untouched)
+    # occupied cell, encoded as an f32 denormal (bits 1..255, ~1e-43).
+    # The threshold test is untouched for any sigma_thresh > 0; at
+    # exactly sigma_thresh == 0 the denormal compares greater, flipping
+    # has_sigma true on empty cells -- harmless only because the induced
+    # optical depth delta*sigma is ~1e-40 and crosses no threshold.
     skip_cap: int = flax.struct.field(pytree_node=False, default=0)
     # (width, height, focal) or None
     ndc: Optional[tuple] = flax.struct.field(pytree_node=False, default=None)
@@ -128,8 +139,7 @@ def add_skip_distances_np(lut: np.ndarray, res: int, cap: int = 12):
     tests): chamfer min-filter iterations computing the Chebyshev distance
     to the nearest occupied (sigma > 0) cell, stored into the sigma lane
     of empty cells as an integer in [1, cap]."""
-    sig = lut[:, 1].view(np.float32).reshape(res, res, res)
-    occ = sig > 0.0
+    occ = (lut[:, 1] != 0).reshape(res, res, res)
     INF = np.int32(cap + 1)
     d = np.where(occ, 0, INF).astype(np.int32)
     for _ in range(cap):
@@ -162,8 +172,11 @@ def _add_skip_distances(lut, *, res: int, cap: int = 12):
     not accumulate across steps (each step lands at geometric boundary +
     one epsilon), so the jump reproduces the reference t bit-near.
     """
-    sig = jax.lax.bitcast_convert_type(lut[:, 1], jnp.float32)
-    occ = (sig > 0.0).reshape(res, res, res)
+    # occupancy from the INT bits, not the float: XLA flushes denormals
+    # to zero, so a float compare would misread sub-255 integer lanes
+    # (sparse-brick indices) as empty and clobber them with distances.
+    # bits == 0 <=> sigma exactly +0.0f <=> nothing to witness.
+    occ = (lut[:, 1] != 0).reshape(res, res, res)
     INF = jnp.int32(cap + 1)
     d = jnp.where(occ, 0, INF)
 
@@ -230,24 +243,68 @@ def build_brick_table(chs_dev, N: int, N3: int, max_depth: int,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("K", "L"))
+def _device_sparse_brick_build(chs, node_ptr, *, K: int, L: int):
+    """Brick rows for K level-L cells that are still INTERNAL: descend
+    the two remaining levels (L+1, L+2) for each of the 64 subcells from
+    each cell's node pointer.  Row layout identical to the dense table
+    (build_brick_table): lanes 0..63 sigma bits, 64..127 packed."""
+    sub64 = jnp.arange(64, dtype=jnp.int32)[None, :]  # [1, 64]
+    a, b, c = (sub64 >> 4) & 3, (sub64 >> 2) & 3, sub64 & 3
+    d1 = ((a >> 1) * 2 + (b >> 1)) * 2 + (c >> 1)  # child digit at L+1
+    d2 = ((a & 1) * 2 + (b & 1)) * 2 + (c & 1)     # child digit at L+2
+
+    node = node_ptr[:, None]                        # [K, 1]
+    sub1 = node * 8 + d1                            # [K, 64]
+    row1 = jnp.take(chs, sub1.reshape(-1), axis=0).reshape(K, 64, 2)
+    skip1 = row1[..., 0]
+    leaf1 = skip1 == 0
+    node2 = node + skip1
+    sub2 = node2 * 8 + d2
+    row2 = jnp.take(chs, jnp.where(leaf1, 0, sub2).reshape(-1),
+                    axis=0).reshape(K, 64, 2)
+    packed = jnp.where(
+        leaf1, (jnp.int32(L + 1) << LUT_PTR_BITS) | sub1,
+        (jnp.int32(L + 2) << LUT_PTR_BITS) | sub2)
+    sig = jnp.where(leaf1, row1[..., 1], row2[..., 1])
+    return jnp.concatenate([sig, packed], axis=1)  # [K, 128]
+
+
 def upload_tree(tree: N3Tree, lut_levels: int = 7,
                 device=None, lut_on_device: bool = True,
-                brick: bool = True, skip_cap: int = 12) -> DeviceTree:
+                brick: bool = True, skip_cap: int = 12,
+                force_sparse_brick: bool = False) -> DeviceTree:
     """Host tree -> device arrays.  ``lut_levels=0`` disables the LUT;
     ``brick`` additionally builds the 4x4x4 leaf-block table used by the
-    fast march when the tree is shallow enough (max_depth <= lut_levels+2
-    semantics: brick level = max_depth-2).  When the LUT is full depth,
-    ``skip_cap > 0`` bakes Chebyshev empty-space skip distances into the
-    LUT (see _add_skip_distances)."""
+    fast march: DENSE (anchored at max_depth-2, full-depth LUT
+    semantics) for trees with max_depth <= 9, SPARSE/indirect (one row
+    per internal LUT cell) for deeper trees up to max_depth ==
+    lut_levels + 2 <= 11.  Trees deeper than 11, or with sub-pointer
+    counts >= 2^27 (which the packed LUT cannot address), fall back
+    EXPLICITLY (stderr warning) to partial-LUT marching with continued
+    descent -- slower, never wrong (the reference accepts any depth,
+    n3tree.cpp:270-277).  When the LUT witnesses full occupancy (full
+    depth, or deep trees with indirect bricks), ``skip_cap > 0`` bakes
+    Chebyshev empty-space skip distances into the LUT
+    (see _add_skip_distances).  ``force_sparse_brick`` exercises the
+    sparse path on shallow trees (tests)."""
+    import sys as _sys
+
     sigma_np = np.ascontiguousarray(tree.data[:, tree.data_dim - 1])
     sigma_bits = sigma_np.astype(np.float32).view(np.int32)
     chs = np.stack([tree.child, sigma_bits], axis=-1)  # [M, 2] i32
 
+    sparse_brick = brick and tree.N == 2 and tree.max_depth >= 3 and (
+        tree.max_depth > 9 or force_sparse_brick)
     lut_arr = np.zeros((0, 2), np.int32)
     eff_levels = 0
     device_lut = None
     if lut_levels > 0 and tree.max_depth > 0:
         lut_levels = min(lut_levels, tree.max_depth)
+        if sparse_brick:
+            # anchor the LUT at the sparse-brick level (memory-capped)
+            lut_levels = min(lut_levels, tree.max_depth - 2, 9)
+            sparse_brick = lut_levels == tree.max_depth - 2
         max_ptr = max(tree.child.shape[0], 1)
         if max_ptr < (1 << LUT_PTR_BITS):
             if lut_on_device:
@@ -261,6 +318,16 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
                     lut_sigma = np.where(shallow, sigma_bits[lut.ptr], 0)
                     lut_arr = np.stack([packed, lut_sigma], axis=-1)
                     eff_levels = lut.levels
+        else:
+            print(f"[rt-octree] tree has {max_ptr} sub-pointers >= 2^"
+                  f"{LUT_PTR_BITS}: packed jump LUT unavailable, "
+                  "marching by per-level descent (slow path)",
+                  file=_sys.stderr)
+    if tree.max_depth > 11 and brick:
+        print(f"[rt-octree] max_depth {tree.max_depth} > 11: no brick "
+              "table (dense needs <= 9, sparse <= 11); marching "
+              f"thin with a level-{eff_levels} LUT + descent",
+              file=_sys.stderr)
 
     extra = tree.extra if tree.extra is not None else np.zeros(0, np.float32)
     ndc = None
@@ -281,24 +348,46 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
     else:
         lut_dev = put(lut_arr)
 
-    # empty-space skip distances need a full-depth LUT (a partial LUT has
-    # internal cells whose occupancy the sigma lane cannot witness)
-    eff_skip = 0
-    if skip_cap > 0 and eff_levels == tree.max_depth and eff_levels > 0:
-        lut_dev = _add_skip_distances(
-            lut_dev, res=tree.N ** eff_levels, cap=skip_cap)
-        eff_skip = skip_cap
-
     brick_levels = 0
+    brick_indirect = False
     brick_dev = jnp.zeros((0, 128), jnp.int32)
-    # brick table memory is (2^(d-2))^3 * 512B -> cap at depth 9 (~1GB)
-    if (brick and tree.N == 2 and eff_levels > 0 and tree.max_depth >= 3
-            and tree.max_depth <= 9
-            and tree.child.shape[0] < (1 << LUT_PTR_BITS)):
+    can_ptr = tree.child.shape[0] < (1 << LUT_PTR_BITS)
+    if (not sparse_brick and brick and tree.N == 2 and eff_levels > 0
+            and 3 <= tree.max_depth <= 9 and can_ptr):
+        # dense brick table: (2^(d-2))^3 * 512B -> cap at depth 9 (~1GB)
         bl = tree.max_depth - 2
         brick_dev = build_brick_table(chs_dev, tree.N, tree.N3,
                                       tree.max_depth, bl)
         brick_levels = bl
+    elif sparse_brick and eff_levels > 0 and can_ptr:
+        # sparse/indirect bricks: one row per LUT cell still internal at
+        # lut_levels; the row index + 1 rides in that cell's sigma lane
+        from .compaction import fast_nonzero
+        n_cells = (tree.N ** eff_levels) ** 3
+        depth_f = (lut_dev[:, 0] >> LUT_PTR_BITS) & LUT_DEPTH_SENTINEL
+        flags = depth_f == LUT_DEPTH_SENTINEL
+        K = int(jnp.sum(flags.astype(jnp.int32)))
+        if K > 0:
+            idx = fast_nonzero(flags, K, n_cells)
+            node_ptrs = jnp.take(lut_dev[:, 0], idx) & (
+                (1 << LUT_PTR_BITS) - 1)
+            brick_dev = _device_sparse_brick_build(
+                chs_dev, node_ptrs, K=K, L=eff_levels)
+            lut_dev = lut_dev.at[idx, 1].set(
+                jnp.arange(1, K + 1, dtype=jnp.int32))
+            brick_levels = eff_levels
+            brick_indirect = True
+
+    # empty-space skip distances need the LUT to witness occupancy:
+    # full depth, or a sparse-brick LUT (internal cells hold brick_idx+1
+    # in the sigma lane, i.e. positive == occupied); runs AFTER the
+    # brick-index write so internal cells are never treated as empty
+    eff_skip = 0
+    if skip_cap > 0 and eff_levels > 0 and (
+            eff_levels == tree.max_depth or brick_indirect):
+        lut_dev = _add_skip_distances(
+            lut_dev, res=tree.N ** eff_levels, cap=skip_cap)
+        eff_skip = skip_cap
     return DeviceTree(
         data=put(tree.data),
         child=put(tree.child),
@@ -316,6 +405,7 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
         max_depth=max(tree.max_depth, 1),
         lut_levels=eff_levels,
         brick_levels=brick_levels,
+        brick_indirect=brick_indirect,
         skip_cap=eff_skip,
         ndc=ndc,
     )
