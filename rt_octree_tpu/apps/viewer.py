@@ -8,10 +8,16 @@ surface.  This module serves a single-page viewer that
 
   * streams rendered frames as PNGs,
   * feeds mouse drags through the same Camera drag/pan/zoom state machine
-    the reference GUI uses (camera.cpp:78-138 -> core/camera.py),
+    the reference GUI uses (camera.cpp:78-138 -> core/camera.py), plus
+    WASD/QE keyboard navigation (main.cpp:477-560 key callback),
   * exposes the main.cpp control panel: SPP radio (1/2/4/8/16/32),
     denoise toggle (main.cpp:238-261), sigma/step thresholds, background,
-    estimator, show_grid wireframe, and screenshot download,
+    estimator, show_grid wireframe, screenshot download, the
+    visualization section (render bbox, basis min/max, viewdir rotation
+    -- main.cpp:287-325), the lumisphere-probe inspector (enable/xyz/
+    display size -- main.cpp:401-437), and mesh manipulation: OBJ /
+    drawlist-npz load by server path, per-mesh visibility, clear
+    (main.cpp:439-465),
   * mirrors the web viewer's load-from-path API (main_web.cpp load_local).
 
 Run: python -m rt_octree_tpu.apps.cli view <tree.npz> [--port 8797]
@@ -20,6 +26,7 @@ Run: python -m rt_octree_tpu.apps.cli view <tree.npz> [--port 8797]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import io
 import json
 import threading
@@ -32,15 +39,18 @@ PAGE = """<!DOCTYPE html>
 <html><head><title>rt-octree-tpu viewer</title><style>
 body { margin:0; background:#111; color:#ddd; font:13px sans-serif;
        display:flex; }
-#img { cursor:grab; image-rendering:auto; }
-#panel { padding:12px; min-width:220px; }
-#panel label { display:block; margin:6px 0; }
+#img { cursor:grab; image-rendering:auto; align-self:flex-start; }
+#panel { padding:12px; min-width:260px; max-height:100vh; overflow-y:auto; }
+#panel label { display:block; margin:4px 0; }
+#panel fieldset { border:1px solid #333; margin:8px 0; }
 #fps { color:#8c8; }
+input[type=number] { width:4.5em; }
 </style></head><body>
-<img id="img" draggable="false">
+<img id="img" draggable="false" tabindex="0">
 <div id="panel">
   <h3>rt-octree-tpu</h3>
   <div id="fps">-</div>
+  <fieldset><legend>Regular Tracking</legend>
   <label>spp:
     <select id="spp">
       <option>1</option><option>2</option><option selected>4</option>
@@ -48,15 +58,44 @@ body { margin:0; background:#111; color:#ddd; font:13px sans-serif;
       <option>32</option>
     </select></label>
   <label><input type="checkbox" id="denoise"> denoise</label>
-  <label><input type="checkbox" id="grid"> show grid</label>
   <label>estimator:
     <select id="estimator"><option>rt</option><option>classic</option>
     </select></label>
+  </fieldset>
+  <fieldset><legend>Render</legend>
+  <label><input type="checkbox" id="grid"> show grid</label>
   <label>bg <input id="bg" type="range" min="0" max="1" step="0.05"
                    value="1"></label>
+  </fieldset>
+  <fieldset><legend>Visualization</legend>
+  <label>bbox min <input id="bb0" type="number" step="0.05" value="0">
+    <input id="bb1" type="number" step="0.05" value="0">
+    <input id="bb2" type="number" step="0.05" value="0"></label>
+  <label>bbox max <input id="bb3" type="number" step="0.05" value="1">
+    <input id="bb4" type="number" step="0.05" value="1">
+    <input id="bb5" type="number" step="0.05" value="1"></label>
+  <label>basis min/max <input id="bmin" type="number" value="0">
+    <input id="bmax" type="number" value="24"></label>
+  <label>viewdir rot <input id="rd0" type="number" step="0.1" value="0">
+    <input id="rd1" type="number" step="0.1" value="0">
+    <input id="rd2" type="number" step="0.1" value="0"></label>
+  </fieldset>
+  <fieldset><legend>Probe</legend>
+  <label><input type="checkbox" id="probe_on"> enable probe</label>
+  <label>at <input id="pr0" type="number" step="0.05" value="0">
+    <input id="pr1" type="number" step="0.05" value="0">
+    <input id="pr2" type="number" step="0.05" value="1"></label>
+  <label>size <input id="prsz" type="number" value="100"></label>
+  </fieldset>
+  <fieldset><legend>Meshes</legend>
+  <input id="meshpath" placeholder="server path: .obj / drawlist .npz">
+  <button onclick="loadMesh()">load</button>
+  <button onclick="post({type:'clear_meshes'})">clear</button>
+  <div id="meshlist"></div>
+  </fieldset>
   <button onclick="shot()">screenshot</button>
   <p>drag = orbit &middot; shift-drag = pan<br>wheel = zoom &middot;
-     all orbits about the scene origin</p>
+     WASD/QE = move (click image first)</p>
 </div>
 <script>
 const img = document.getElementById('img');
@@ -72,11 +111,12 @@ function refresh() {
   }).catch(() => { busy = false; });
 }
 function post(ev) {
-  fetch('/event', {method: 'POST', body: JSON.stringify(ev)})
+  return fetch('/event', {method: 'POST', body: JSON.stringify(ev)})
+    .then(r => { if (!r.ok) r.text().then(t => alert(t)); })
     .then(refresh);
 }
 let dragging = false;
-img.addEventListener('mousedown', e => { dragging = true;
+img.addEventListener('mousedown', e => { dragging = true; img.focus();
   post({type: 'begin_drag', x: e.offsetX, y: e.offsetY,
         pan: e.shiftKey, about_origin: true}); });
 window.addEventListener('mouseup', e => { if (dragging) {
@@ -85,14 +125,51 @@ img.addEventListener('mousemove', e => { if (dragging)
   post({type: 'drag_update', x: e.offsetX, y: e.offsetY}); });
 img.addEventListener('wheel', e => { e.preventDefault();
   post({type: 'zoom', delta: e.deltaY > 0 ? 1 : -1}); });
-for (const id of ['spp', 'denoise', 'grid', 'estimator', 'bg']) {
-  document.getElementById(id).addEventListener('change', () => {
-    post({type: 'options',
-          spp: +document.getElementById('spp').value,
+img.addEventListener('keydown', e => {
+  if ('wasdqeWASDQE'.includes(e.key))
+    post({type: 'key', key: e.key.toLowerCase(), fast: e.shiftKey});
+});
+function v(id) { return +document.getElementById(id).value; }
+function optEvent() {
+  return {type: 'options',
+          spp: v('spp'),
           denoise: document.getElementById('denoise').checked,
           show_grid: document.getElementById('grid').checked,
           estimator: document.getElementById('estimator').value,
-          bg: +document.getElementById('bg').value});
+          bg: v('bg'),
+          render_bbox: [v('bb0'),v('bb1'),v('bb2'),v('bb3'),v('bb4'),
+                        v('bb5')],
+          basis_minmax: [v('bmin'), v('bmax')],
+          rot_dirs: [v('rd0'), v('rd1'), v('rd2')],
+          enable_probe: document.getElementById('probe_on').checked,
+          probe: [v('pr0'), v('pr1'), v('pr2')],
+          probe_disp_size: v('prsz')};
+}
+for (const id of ['spp','denoise','grid','estimator','bg','bb0','bb1',
+                  'bb2','bb3','bb4','bb5','bmin','bmax','rd0','rd1',
+                  'rd2','probe_on','pr0','pr1','pr2','prsz']) {
+  document.getElementById(id).addEventListener('change',
+    () => post(optEvent()));
+}
+function loadMesh() {
+  post({type: 'load_mesh',
+        path: document.getElementById('meshpath').value})
+    .then(listMeshes);
+}
+function listMeshes() {
+  fetch('/state').then(r => r.json()).then(st => {
+    const d = document.getElementById('meshlist');
+    d.innerHTML = '';
+    st.meshes.forEach((m, i) => {
+      const l = document.createElement('label');
+      const c = document.createElement('input');
+      c.type = 'checkbox'; c.checked = m.visible;
+      c.addEventListener('change', () =>
+        post({type: 'mesh_vis', index: i, visible: c.checked}));
+      l.appendChild(c);
+      l.appendChild(document.createTextNode(' ' + m.name));
+      d.appendChild(l);
+    });
   });
 }
 function shot() { window.open('/frame.png?shot=1'); }
@@ -102,7 +179,8 @@ refresh();
 
 
 class ViewerState:
-    """Owns the renderer + camera; serializes renders behind a lock."""
+    """Owns the renderer + camera + mesh list; serializes renders behind a
+    lock."""
 
     def __init__(self, tree_path: str, width: int = 512, height: int = 512,
                  gnet: str = "", lut_levels: int = 7, spp: int = 4):
@@ -124,6 +202,54 @@ class ViewerState:
             self.renderer.set_denoiser(gnet)
         self.lock = threading.Lock()
         self.frame_count = 0
+        self.meshes: list = []
+
+    def _apply_options(self, ev: dict) -> None:
+        """Validate on a copy BEFORE mutating the live options so a bad
+        value (e.g. spp=5) can't leave the shared object invalid for
+        every subsequent /frame.png."""
+        o = dataclasses.replace(self.renderer.options)
+        if "spp" in ev:
+            o.spp = int(ev["spp"])
+        if "denoise" in ev:
+            o.denoise = bool(ev["denoise"])
+        if "estimator" in ev:
+            o.estimator = str(ev["estimator"])
+        if "bg" in ev:
+            o.background_brightness = float(ev["bg"])
+        if "show_grid" in ev:
+            o.show_grid = bool(ev["show_grid"])
+        if "render_bbox" in ev:
+            bb = [float(x) for x in ev["render_bbox"]]
+            if len(bb) != 6:
+                raise ValueError("render_bbox needs 6 floats")
+            o.render_bbox = tuple(bb)
+        if "basis_minmax" in ev:
+            mm = [int(x) for x in ev["basis_minmax"]]
+            if len(mm) != 2 or mm[0] < 0 or mm[1] < mm[0]:
+                raise ValueError("basis_minmax needs 0 <= min <= max")
+            o.basis_minmax = tuple(mm)
+        if "rot_dirs" in ev:
+            rd = [float(x) for x in ev["rot_dirs"]]
+            if len(rd) != 3:
+                raise ValueError("rot_dirs needs 3 floats")
+            o.rot_dirs = tuple(rd)
+        if "enable_probe" in ev:
+            o.enable_probe = bool(ev["enable_probe"])
+        if "probe" in ev:
+            pr = [float(x) for x in ev["probe"]]
+            if len(pr) != 3:
+                raise ValueError("probe needs 3 floats")
+            o.probe = tuple(pr)
+        if "probe_disp_size" in ev:
+            sz = int(ev["probe_disp_size"])
+            if not (0 < sz <= 512):
+                raise ValueError("probe_disp_size must be in (0, 512]")
+            o.probe_disp_size = sz
+        o.validate()
+        if o.show_grid and self.renderer._grid_mesh is None:
+            self.renderer.set_grid_mesh(self.tree_host)
+        self.renderer.options = o
 
     def handle_event(self, ev: dict) -> None:
         cam = self.cam
@@ -140,27 +266,64 @@ class ViewerState:
                 # wheel zoom = move along view dir (main.cpp wheel cb)
                 cam.move(np.asarray(cam.v_back, np.float32) *
                          (0.3 * float(ev.get("delta", 1))))
+            elif t == "key":
+                self._handle_key(str(ev.get("key", "")),
+                                 bool(ev.get("fast")))
             elif t == "options":
-                o = self.renderer.options
-                if "spp" in ev:
-                    o.spp = int(ev["spp"])
-                if "denoise" in ev:
-                    o.denoise = bool(ev["denoise"])
-                if "estimator" in ev:
-                    o.estimator = str(ev["estimator"])
-                if "bg" in ev:
-                    o.background_brightness = float(ev["bg"])
-                if "show_grid" in ev:
-                    o.show_grid = bool(ev["show_grid"])
-                    if o.show_grid and self.renderer._grid_mesh is None:
-                        self.renderer.set_grid_mesh(self.tree_host)
-                o.validate()
+                self._apply_options(ev)
+            elif t == "load_mesh":
+                self._load_mesh(str(ev.get("path", "")))
+            elif t == "mesh_vis":
+                i = int(ev.get("index", -1))
+                if not (0 <= i < len(self.meshes)):
+                    raise ValueError(f"no mesh at index {i}")
+                self.meshes[i].visible = bool(ev.get("visible", True))
+            elif t == "clear_meshes":
+                self.meshes = []
+            else:
+                raise ValueError(f"unknown event type {t!r}")
+
+    def _handle_key(self, key: str, fast: bool) -> None:
+        """WASD/QE camera movement (main.cpp:477-560: W/S along view,
+        A/D strafe, Q/E world up/down; shift = 5x speed)."""
+        cam = self.cam
+        speed = 0.5 if fast else 0.1
+        back = np.asarray(cam.v_back, np.float32)
+        up = np.asarray(cam.v_world_up, np.float32)
+        right = np.cross(-back, up)
+        n = np.linalg.norm(right)
+        right = right / n if n > 1e-9 else right
+        vec = {"w": -back, "s": back, "a": -right, "d": right,
+               "q": -up, "e": up}.get(key)
+        if vec is None:
+            raise ValueError(f"unknown key {key!r}")
+        cam.move(vec * speed)
+
+    def _load_mesh(self, path: str) -> None:
+        from ..io.mesh import load_drawlist, load_obj
+        if path.endswith(".npz"):
+            self.meshes.extend(m for m in load_drawlist(path))
+        elif path.endswith(".obj"):
+            self.meshes.append(load_obj(path))
+        else:
+            raise ValueError("mesh path must end in .obj or .npz")
 
     def render_png(self) -> bytes:
         from ..io.images import to_uint8
 
         with self.lock:
-            img, _ = self.renderer.render_with_probe(self.cam.transform)
+            kw = {}
+            visible = [m for m in self.meshes if m.visible]
+            if visible:
+                from ..render.raster import rasterize_meshes
+                bg = np.full(
+                    3, self.renderer.options.background_brightness,
+                    np.float32)
+                color, depth = rasterize_meshes(visible, self.cam,
+                                                background=bg)
+                kw = dict(mesh_color=color, mesh_depth=depth)
+            img, _ = self.renderer.render_with_probe(self.cam.transform,
+                                                     **kw)
             self.renderer.advance_rng()
             arr = to_uint8(np.asarray(img))
             self.frame_count += 1
@@ -194,6 +357,8 @@ def make_handler(state: ViewerState):
                     "v_back": np.asarray(cam.v_back).tolist(),
                     "frames": state.frame_count,
                     "options": state.renderer.options.to_json_dict(),
+                    "meshes": [{"name": m.name, "visible": bool(m.visible)}
+                               for m in state.meshes],
                 }).encode()
                 self._send(200, body, "application/json")
             else:
@@ -202,8 +367,12 @@ def make_handler(state: ViewerState):
         def do_POST(self):
             if self.path == "/event":
                 n = int(self.headers.get("Content-Length", 0))
-                ev = json.loads(self.rfile.read(n) or b"{}")
-                state.handle_event(ev)
+                try:
+                    ev = json.loads(self.rfile.read(n) or b"{}")
+                    state.handle_event(ev)
+                except (ValueError, KeyError, OSError) as e:
+                    self._send(400, str(e).encode(), "text/plain")
+                    return
                 self._send(200, b"{}", "application/json")
             else:
                 self._send(404, b"not found", "text/plain")

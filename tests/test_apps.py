@@ -458,6 +458,67 @@ def test_web_viewer_end_to_end(tmp_path):
                                       ).read()
         assert png3[:4] == b"\x89PNG"
         assert st["frames"] >= 2
+
+        # -- visualization panel (main.cpp:287-325): each control changes
+        #    the frame --
+        def frame():
+            return urllib.request.urlopen(f"{base}/frame.png",
+                                          timeout=600).read()
+
+        post({"type": "options", "render_bbox": [0.3, 0.3, 0.3,
+                                                 0.7, 0.7, 0.7]})
+        png_bbox = frame()
+        assert png_bbox != png3
+        post({"type": "options", "render_bbox": [0, 0, 0, 1, 1, 1],
+              "basis_minmax": [0, 0]})
+        png_bmm = frame()
+        assert png_bmm != png_bbox
+        post({"type": "options", "basis_minmax": [0, 24],
+              "rot_dirs": [0.0, 0.9, 0.0]})
+        png_rot = frame()
+        assert png_rot != png_bmm
+        post({"type": "options", "rot_dirs": [0.0, 0.0, 0.0]})
+
+        # -- probe inspector (main.cpp:401-437) --
+        post({"type": "options", "enable_probe": True,
+              "probe": [0.0, 0.0, 0.5], "probe_disp_size": 8})
+        png_probe = frame()
+        assert png_probe != png_rot
+        post({"type": "options", "enable_probe": False})
+
+        # -- keyboard navigation --
+        post({"type": "key", "key": "w", "fast": False})
+        st2 = json.loads(urllib.request.urlopen(f"{base}/state",
+                                                timeout=120).read())
+        assert st2["center"] != st["center"]
+
+        # -- mesh load + visibility (main.cpp:439-465) --
+        obj = tmp_path / "tri.obj"
+        obj.write_text("v -2 -2 0 1 0 0\nv 2 -2 0 1 0 0\n"
+                       "v 0 2 0 1 0 0\nf 1 2 3\n")
+        png_nomesh = frame()
+        post({"type": "load_mesh", "path": str(obj)})
+        st3 = json.loads(urllib.request.urlopen(f"{base}/state",
+                                                timeout=120).read())
+        assert len(st3["meshes"]) == 1
+        png_mesh = frame()
+        assert png_mesh != png_nomesh
+        post({"type": "mesh_vis", "index": 0, "visible": False})
+        post({"type": "clear_meshes"})
+
+        # -- invalid option: 400, live options untouched --
+        req = urllib.request.Request(
+            f"{base}/event", data=json.dumps(
+                {"type": "options", "spp": 5}).encode(), method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        st4 = json.loads(urllib.request.urlopen(f"{base}/state",
+                                                timeout=120).read())
+        assert st4["options"]["spp"] == 2  # unchanged
+        assert frame()[:4] == b"\x89PNG"  # renderer still healthy
     finally:
         httpd.shutdown()
         httpd.server_close()
