@@ -82,7 +82,8 @@ def render_rays_sharded(mesh: Mesh, tree, dirs, vdirs, cens, uniforms,
 def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
                                 fx: float, fy: float, opt: FrozenOptions,
                                 inc: int = 3, max_steps: int = 2048,
-                                schedule=None):
+                                schedule=None, net_cfg=None,
+                                net_params=None):
     """Whole-frame renderer with rays sharded over the mesh.
 
     Ray generation, PCG32 sampling, compositing and aux assembly run SPMD
@@ -91,8 +92,17 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
     wavefront schedule on its local ray shard -- the single-chip 3x
     optimization survives multi-chip, because the nonzero/pack of each
     shard stays shard-local instead of becoming a global cross-chip
-    gather.  Outputs all-gather at the [H,W,4]/[8,H,W] boundary over ICI.
-    The per-frame host traffic is the 3x4 pose and RNG state (~60B)."""
+    gather.
+
+    When ``net_cfg``/``net_params`` carry a compact GuidanceNet and
+    ``opt.denoise`` is set, the denoiser runs FUSED in the same jit (the
+    reference's single-stream render->denoise pipeline,
+    cuda_renderer.cpp:96-156): rays flattened row-major over ("dp","sp")
+    ARE height rows, so the aux buffer is already H-sharded for the conv
+    stack and the guided filter -- XLA partitions both with halo
+    exchanges over ICI; no resharding sits between march and denoise.
+    Outputs all-gather at the [H,W,4]/[8,H,W] boundary.  The per-frame
+    host traffic is the 3x4 pose and RNG state (~60B)."""
     from ..render.renderer import (
         DEFAULT_SCHEDULE, device_camera_rays, maybe_world2ndc,
         rodrigues_jnp, trace_rays)
@@ -106,6 +116,7 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
     aux_sharding = NamedSharding(mesh, P(None, ray_axes, None))
     R = width * height
     spp = opt.spp
+    denoise = bool(opt.denoise) and net_cfg is not None
 
     classic = getattr(opt, "estimator", "rt") == "classic"
 
@@ -128,9 +139,9 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
 
     @functools.partial(
         jax.jit,
-        in_shardings=(None, repl, repl, repl),
+        in_shardings=(None, repl, repl, repl, None),
         out_shardings=(img_sharding, aux_sharding))
-    def frame(tree_arrays, transform, state_hi, state_lo):
+    def frame(tree_arrays, transform, state_hi, state_lo, params):
         dirs, cens = device_camera_rays(transform, width, height, fx, fy)
         vdirs = rodrigues_jnp(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
         wdirs, wcens = maybe_world2ndc(tree_arrays, dirs, cens)
@@ -140,12 +151,26 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
         tmax_bg = jnp.full((R,), 1e9, jnp.float32)
 
         out = sharded_trace(tree_arrays, wdirs, vdirs, wcens, dst, tmax_bg)
-        from ..render.renderer import composite_and_aux
-        return composite_and_aux(out, width, height,
-                                 opt.background_brightness)
+        from ..render.renderer import _denoise, composite_and_aux
+        img, aux = composite_and_aux(out, width, height,
+                                     opt.background_brightness)
+        if denoise:
+            # keep the conv/filter input H-sharded (rows == rays)
+            aux_nhwc = jax.lax.with_sharding_constraint(
+                jnp.moveaxis(aux, 0, -1),
+                NamedSharding(mesh, P(ray_axes, None, None)))
+            img = _denoise(aux_nhwc, img, params, net_cfg)
+        return img, aux
 
     tree = jax.device_put(tree, repl)
-    return functools.partial(frame, tree)
+    if denoise:
+        net_params = jax.device_put(net_params, repl)
+
+    def render(transform, state_hi, state_lo):
+        return frame(tree, transform, state_hi, state_lo,
+                     net_params if denoise else 0)
+
+    return render
 
 
 # ---------------------------------------------------------------------------

@@ -87,3 +87,48 @@ def test_sharded_frame_renderer_matches_single():
     img1, aux1 = r.render(cam.transform)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img1), atol=2e-5)
     np.testing.assert_allclose(np.asarray(aux), np.asarray(aux1), atol=4e-5)
+
+
+def test_sharded_frame_denoise_brick_matches_single():
+    """The flagship multi-chip pipeline: brick-march shards + the fused
+    spatially-sharded GuidanceNet denoiser in ONE jit (the reference's
+    single-stream render->denoise frame, cuda_renderer.cpp:96-156), vs
+    the single-device renderer."""
+    import jax.numpy as jnp
+    from rt_octree_tpu.core.camera import Camera
+    from rt_octree_tpu.core.options import RenderOptions
+    from rt_octree_tpu.io import synthetic
+    from rt_octree_tpu.models.guidance_net import (
+        GuidanceNetConfig, compact_params, init_params)
+    from rt_octree_tpu.ops.traversal import upload_tree
+    from rt_octree_tpu.parallel.mesh import (
+        make_mesh, make_sharded_frame_renderer)
+    from rt_octree_tpu.render.renderer import FrozenOptions, Renderer
+    from rt_octree_tpu.utils.rng import Pcg32
+
+    tree = synthetic.make_synthetic_tree("shell", depth=4, basis_dim=4)
+    dt = upload_tree(tree, lut_levels=4)  # full depth => bricks live
+    assert dt.brick_levels > 0
+    cfg = GuidanceNetConfig(in_channels=8, mid_channels=8, num_layers=2,
+                            num_branches=2, kernel_levels=2)
+    params = compact_params(cfg, init_params(cfg, jax.random.PRNGKey(0)))
+    cam = Camera(width=16, height=16, fx=30.0, fy=30.0)
+    opt = RenderOptions(spp=2, denoise=True)
+    # schedule with a compaction into a brick stage, exercised per shard
+    schedule = ((2, 1.0, "thin"), (0, 2.0, "brick"))
+    mesh = make_mesh(8)
+    frame = make_sharded_frame_renderer(
+        mesh, dt, 16, 16, 30.0, 30.0, FrozenOptions.from_options(opt),
+        max_steps=256, schedule=schedule, net_cfg=cfg, net_params=params)
+    rng = Pcg32(20230418)
+    img, aux = frame(jnp.asarray(cam.transform),
+                     jnp.uint32(rng.state >> 32),
+                     jnp.uint32(rng.state & 0xFFFFFFFF))
+    r = Renderer(dt, 16, 16, 30.0, 30.0, options=opt, n_chunks=1,
+                 schedule=schedule, max_steps=256)
+    r.set_denoiser(cfg, params)
+    img1, aux1 = r.render(cam.transform)
+    np.testing.assert_allclose(np.asarray(aux), np.asarray(aux1),
+                               atol=4e-5)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img1),
+                               atol=2e-4)
