@@ -29,31 +29,3 @@ def test_fast_nonzero_empty_and_full():
     mask = jnp.ones(2048, bool)
     out = fast_nonzero(mask, size=2048, fill_value=99)
     np.testing.assert_array_equal(np.asarray(out), np.arange(2048))
-
-
-def test_packed_segments_matches_nonzero(np_rng):
-    from rt_octree_tpu.ops.compaction import packed_segments
-    n, kmax, size = 2048, 5, 1024
-    counts = jnp.asarray(np_rng.integers(0, kmax + 1, n) *
-                         (np_rng.random(n) < 0.3), dtype=jnp.int32)
-    owner, rank, total = packed_segments(counts, size)
-    owner, rank = np.asarray(owner), np.asarray(rank)
-    c = np.asarray(counts)
-    expect = [(i, j) for i in range(n) for j in range(int(c[i]))]
-    assert int(total) == len(expect)
-    m = min(len(expect), size)
-    np.testing.assert_array_equal(owner[:m], [e[0] for e in expect[:m]])
-    np.testing.assert_array_equal(rank[:m], [e[1] for e in expect[:m]])
-    np.testing.assert_array_equal(owner[m:], np.full(size - m, n))
-
-
-def test_packed_segments_empty_and_overflow():
-    from rt_octree_tpu.ops.compaction import packed_segments
-    counts = jnp.zeros(1024, jnp.int32)
-    owner, rank, total = packed_segments(counts, 64)
-    assert int(total) == 0 and (np.asarray(owner) == 1024).all()
-    counts = jnp.full(1024, 3, jnp.int32)
-    owner, rank, total = packed_segments(counts, 64)
-    assert int(total) == 3072
-    np.testing.assert_array_equal(np.asarray(owner), np.arange(64) // 3)
-    np.testing.assert_array_equal(np.asarray(rank), np.arange(64) % 3)
