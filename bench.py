@@ -175,13 +175,14 @@ def second_scene_fps(net_cfg, net_params):
     opt = RenderOptions(spp=6, denoise=True, step_size=1e-4,
                         sigma_thresh=1e-2, background_brightness=1.0)
     cam = Camera(width=800, height=800)
-    sched = auto_schedule(dt, [cam.transform], opt, cam.fx, cam.fy,
-                          800, 800)
+    sched, shade_div = auto_schedule(dt, [cam.transform], opt, cam.fx,
+                                     cam.fy, 800, 800,
+                                     with_shade_div=True)
     print(f"[bench] solid-scene auto schedule: "
-          f"{[(s, round(d, 1), k, t) for s, d, k, t in sched]}",
-          file=sys.stderr)
+          f"{[(s, round(d, 1), k, t) for s, d, k, t in sched]} "
+          f"shade_div={shade_div}", file=sys.stderr)
     r = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt,
-                 schedule=sched)
+                 schedule=sched, shade_cap_div=shade_div)
     if net_cfg is not None:
         r.set_denoiser(net_cfg, net_params)
 
@@ -235,11 +236,18 @@ def main():
                         sigma_thresh=1e-2, background_brightness=1.0)
     cam = Camera(width=800, height=800)  # canonical blender focal
     kw = {}
+    from rt_octree_tpu.render.schedule import auto_schedule
+    sched, shade_div = auto_schedule(dt, [cam.transform], opt, cam.fx,
+                                     cam.fy, 800, 800,
+                                     with_shade_div=True)
+    # the probed shade cap always applies (pure win: smaller shading
+    # gather, dense fallback guards overflow); the probed SCHEDULE
+    # replaces the hand-measured default only on request
+    kw["shade_cap_div"] = shade_div
     if os.environ.get("RT_BENCH_AUTOSCHED", "") == "1":
-        from rt_octree_tpu.render.schedule import auto_schedule
-        kw["schedule"] = auto_schedule(dt, [cam.transform], opt, cam.fx,
-                                       cam.fy, 800, 800)
-        print(f"[bench] auto schedule: {kw['schedule']}", file=sys.stderr)
+        kw["schedule"] = sched
+        print(f"[bench] auto schedule: {sched}", file=sys.stderr)
+    print(f"[bench] probed shade_cap_div={shade_div}", file=sys.stderr)
     r = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt, **kw)
 
     # canonical GuidanceNet (in=8, mid=32, layers=2, branches=5, levels=4);

@@ -151,10 +151,11 @@ def run(argv: Optional[Sequence[str]] = None) -> int:
     if args.auto_schedule:
         from ..render.schedule import auto_schedule
         probe_poses = poses[:: max(len(poses) // 3, 1)][:3]
-        kw["schedule"] = auto_schedule(dt, probe_poses, options, fx, fy,
-                                       width, height)
-        print(f"[rtoctree] auto schedule: {kw['schedule']}",
-              file=sys.stderr)
+        kw["schedule"], kw["shade_cap_div"] = auto_schedule(
+            dt, probe_poses, options, fx, fy, width, height,
+            with_shade_div=True)
+        print(f"[rtoctree] auto schedule: {kw['schedule']} "
+              f"shade_div={kw['shade_cap_div']}", file=sys.stderr)
     renderer = Renderer(dt, width, height, fx, fy, options=options, **kw)
     if args.gnet:
         renderer.set_denoiser(args.gnet)

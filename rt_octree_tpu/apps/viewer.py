@@ -29,6 +29,7 @@ import argparse
 import dataclasses
 import io
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Sequence
@@ -86,6 +87,11 @@ input[type=number] { width:4.5em; }
     <input id="pr1" type="number" step="0.05" value="0">
     <input id="pr2" type="number" step="0.05" value="1"></label>
   <label>size <input id="prsz" type="number" value="100"></label>
+  </fieldset>
+  <fieldset><legend>Tree</legend>
+  <input id="treepath" placeholder="server path: octree .npz">
+  <button onclick="post({type:'load_tree',
+    path:document.getElementById('treepath').value})">load tree</button>
   </fieldset>
   <fieldset><legend>Meshes</legend>
   <input id="meshpath" placeholder="server path: .obj / drawlist .npz">
@@ -187,22 +193,36 @@ class ViewerState:
         import jax  # noqa: F401  (device init before first render)
         from ..core.camera import Camera
         from ..core.options import RenderOptions
+
+        self.lut_levels = lut_levels
+        self.cam = Camera(width=width, height=height)
+        self._options = RenderOptions(spp=spp, denoise=False)
+        self._gnet = gnet
+        self.lock = threading.Lock()
+        self.frame_count = 0
+        self.meshes: list = []
+        self._set_tree(tree_path)
+
+    def _set_tree(self, tree_path: str) -> None:
+        """(Re)load an octree and rebuild the renderer around it -- the
+        server-side counterpart of the web viewer's load_local/
+        load_remote API (main_web.cpp:276-284; 'remote' fetching is the
+        browser's concern in this inverted architecture, the server
+        loads by path)."""
         from ..io import n3tree
         from ..ops.traversal import upload_tree
         from ..render.renderer import Renderer
 
         self.tree_host = n3tree.load(tree_path)
         self.dt = upload_tree(self.tree_host, lut_levels=min(
-            lut_levels, self.tree_host.max_depth))
-        self.cam = Camera(width=width, height=height)
-        opt = RenderOptions(spp=spp, denoise=False)
-        self.renderer = Renderer(self.dt, width, height, self.cam.fx,
-                                 self.cam.fy, options=opt)
-        if gnet:
-            self.renderer.set_denoiser(gnet)
-        self.lock = threading.Lock()
-        self.frame_count = 0
-        self.meshes: list = []
+            self.lut_levels, self.tree_host.max_depth))
+        self.renderer = Renderer(self.dt, self.cam.width, self.cam.height,
+                                 self.cam.fx, self.cam.fy,
+                                 options=self._options)
+        if self._gnet:
+            self.renderer.set_denoiser(self._gnet)
+        if self._options.show_grid:
+            self.renderer.set_grid_mesh(self.tree_host)
 
     def _apply_options(self, ev: dict) -> None:
         """Validate on a copy BEFORE mutating the live options so a bad
@@ -250,6 +270,7 @@ class ViewerState:
         if o.show_grid and self.renderer._grid_mesh is None:
             self.renderer.set_grid_mesh(self.tree_host)
         self.renderer.options = o
+        self._options = o
 
     def handle_event(self, ev: dict) -> None:
         cam = self.cam
@@ -271,6 +292,11 @@ class ViewerState:
                                  bool(ev.get("fast")))
             elif t == "options":
                 self._apply_options(ev)
+            elif t == "load_tree":
+                path = str(ev.get("path", ""))
+                if not os.path.exists(path):
+                    raise ValueError(f"no such tree file: {path}")
+                self._set_tree(path)
             elif t == "load_mesh":
                 self._load_mesh(str(ev.get("path", "")))
             elif t == "mesh_vis":

@@ -224,6 +224,9 @@ def _march_body(tree: DeviceTree, opt, spp: int, consts, state):
 # i.e. an in-row 2-D gather).  Module-level so the schedule tuner can
 # A/B it; jit traces read it at trace time.
 _BRICK_SELECT = "onehot"
+# while-loop unroll for non-final stages (tuner A/B knob): trades cond
+# evaluations for potential step overshoot within a stage budget
+_STAGE_UNROLL = 1
 
 
 def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
@@ -403,11 +406,10 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
 # against measured survivors (tools/tune_schedule3.py: 135k@183k,
 # 84k@110k, 42k@61k, 15k@29k, 7.7k@16k, 4.7k@10k).
 # Stages may carry an optional 4th element: the brick sub-step count
-# t_in (default 4).  Mid stages measured best at t_in=4 (sub-step VPU
-# work scales with t_in while cell-exit waste cuts the delivered steps);
-# the final DRAIN measured best at t_in=12 (22.5 vs 32.9 ms staged --
-# tail rays sit in finely-subdivided cells, so exit waste is low and
-# fewer rounds directly cut the per-round floor).
+# t_in (default 4).  t_in=4 measured best IN-JIT at every stage incl.
+# the drain (round-3 exp4: t4 drain 175.7 vs t12 180.0 ms march; the
+# staged-fori protocol had suggested t12 -- an artifact of fori vs the
+# real early-exit while loop).
 DEFAULT_SCHEDULE = (
     (2, 1.0, "thin"),
     (4, 2.4, "thin"),
@@ -416,7 +418,7 @@ DEFAULT_SCHEDULE = (
     (32, 10.5, "brick"),
     (40, 22.0, "brick"),
     (48, 40.0, "brick"),
-    (0, 64.0, "brick", 12),
+    (0, 64.0, "brick"),
 )
 
 
@@ -439,7 +441,7 @@ def _normalize_schedule(schedule):
 def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
                tmax_bg=None, max_steps: int = 8192,
                schedule=DEFAULT_SCHEDULE, phase1_steps=None,
-               compact_frac=None):
+               compact_frac=None, shade_cap_div: int = 4):
     """Regular-tracking estimator over a ray batch.
 
     dirs/cens: [R,3] tree-space-ready rays -- world dirs and world origins
@@ -464,7 +466,8 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
                                   tuple(schedule), max_steps)
 
     # ---- color accumulation (rt_core.cuh:272-332) ----
-    return _shade(tree, vdirs, leafs, cnts, opt, spp)
+    return _shade(tree, vdirs, leafs, cnts, opt, spp,
+                  cap_div=shade_cap_div)
 
 
 def _init_march(tree: DeviceTree, dirs, cens, dst, opt, tmax_bg=None):
@@ -501,12 +504,21 @@ def _init_march(tree: DeviceTree, dirs, cens, dst, opt, tmax_bg=None):
 
 def _pack_bundle(consts, state):
     """Bundle per-ray consts+state into one [R, K] i32 row so a compaction
-    is a single gather."""
-    f32_parts = [consts[0], consts[1], consts[2], consts[3][:, None],
-                 consts[4], consts[5][:, None], state[1][:, None],
-                 state[2][:, None], state[6]]
-    i32_parts = [state[0][:, None].astype(jnp.int32), state[3][:, None],
-                 state[4][:, None], state[5]]
+    is a single gather.
+
+    Slimmed to 10+2*spp f32 + 1+spp i32 lanes (116B at spp=6; was 136B):
+    ``invdir`` is NOT carried -- it is a deterministic elementwise
+    function of the carried d_t, so recomputing it after unpack is
+    bit-exact and cheaper than gathering 12B/row -- and (active, sppc,
+    shn) ride one packed flag word (1+6+6 bits; sppc, shn <= spp <= 32).
+    The pack-gather sits in the measured 47-58M rows/s row-width regime,
+    so every dropped lane is ~row-count x 4B of bandwidth back."""
+    (cen_t, d_t, invdir, delta_scale, dst, tmax) = consts
+    (active, t, src, sppc, shn, leafs, cnts) = state
+    f32_parts = [cen_t, d_t, delta_scale[:, None], dst, tmax[:, None],
+                 t[:, None], src[:, None], cnts]
+    flags = (active.astype(jnp.int32) | (sppc << 1) | (shn << 7))
+    i32_parts = [flags[:, None], leafs]
     f32 = jnp.concatenate(f32_parts, axis=1)
     i32 = jnp.concatenate(i32_parts, axis=1)
     return jnp.concatenate(
@@ -514,14 +526,17 @@ def _pack_bundle(consts, state):
 
 
 def _unpack_bundle(row, spp):
-    nf = 13 + 2 * spp
+    nf = 10 + 2 * spp
     f32 = jax.lax.bitcast_convert_type(row[:, :nf], jnp.float32)
     i32 = row[:, nf:]
-    consts = (f32[:, 0:3], f32[:, 3:6], f32[:, 6:9], f32[:, 9],
-              f32[:, 10:10 + spp], f32[:, 10 + spp])
-    state = (i32[:, 0].astype(bool), f32[:, 11 + spp], f32[:, 12 + spp],
-             i32[:, 1], i32[:, 2], i32[:, 3:3 + spp],
-             f32[:, 13 + spp:13 + 2 * spp])
+    d_t = f32[:, 3:6]
+    invdir = 1.0 / (d_t + 1e-9)  # bit-exact recompute (see _pack_bundle)
+    consts = (f32[:, 0:3], d_t, invdir, f32[:, 6],
+              f32[:, 7:7 + spp], f32[:, 7 + spp])
+    flags = i32[:, 0]
+    state = ((flags & 1).astype(bool), f32[:, 8 + spp], f32[:, 9 + spp],
+             (flags >> 1) & 0x3F, (flags >> 7) & 0x3F, i32[:, 1:1 + spp],
+             f32[:, 10 + spp:10 + 2 * spp])
     return consts, state
 
 
@@ -554,7 +569,8 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
 
     def run_here(consts, state):
         st = _march_loop(tree, opt, spp, consts, state, steps,
-                         unroll=4 if last else 1, brick=brick, t_in=t_in)
+                         unroll=4 if last else _STAGE_UNROLL,
+                         brick=brick, t_in=t_in)
         if last:
             return st[5], st[6]
         return _march_schedule(tree, opt, spp, consts, st, rest,
@@ -615,7 +631,7 @@ def _leaf_rgb(tree: DeviceTree, leaf_idx, basis_rows):
 
 
 def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
-           spp: int):
+           spp: int, cap_div: int = 4):
     """Per-distinct-leaf basis shading over the prefix-packed [R, SPP]
     hit slots.
 
@@ -643,9 +659,12 @@ def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
     # writing hit rays back is the only scatter).
     hit_mask = cnts[:, 0] > 0
     n_hit = jnp.sum(hit_mask.astype(jnp.int32))
-    # bench-scene hits ~11% of rays; overflow poses fall back to the
-    # dense branch (correct, just slower)
-    caph = max(R // 4, 1)
+    # cap_div defaults conservative (hits can fill 1/4 of the frame);
+    # the per-scene tuner (render/schedule.py) sizes it from the probed
+    # hit fraction -- the [caph*spp, data_dim] shading gather is the
+    # shade cost driver, so an oversized cap wastes ~row-count x 58B.
+    # Overflow poses fall back to the dense branch (correct, slower).
+    caph = max(R // cap_div, 1)
 
     def hit_compact(_):
         hidx = fast_nonzero(hit_mask, caph, R)
@@ -776,7 +795,7 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
                   width: int, height: int, fx: float, fy: float,
                   opt: FrozenOptions, n_chunks: int, max_steps: int,
                   inc: int, schedule=DEFAULT_SCHEDULE, mesh_color=None,
-                  mesh_depth=None):
+                  mesh_depth=None, shade_cap_div: int = 4):
     """Trace + composite + aux assembly (the reference render_kernel).
 
     mesh_color [R,3] / mesh_depth [R] optionally carry a rasterized mesh
@@ -807,7 +826,8 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
             return trace_rays_classic(tree, cd, cv, cc, opt, tmax_bg=ctm,
                                       max_steps=max_steps)
         return trace_rays(tree, cd, cv, cc, cdst, opt, tmax_bg=ctm,
-                          max_steps=max_steps, schedule=schedule)
+                          max_steps=max_steps, schedule=schedule,
+                          shade_cap_div=shade_cap_div)
 
     if n_chunks > 1:
         args = (
@@ -855,20 +875,22 @@ def _denoise(aux_nhwc, noisy_img, net_params, net_cfg: GuidanceNetConfig):
     jax.jit,
     static_argnames=("width", "height", "fx", "fy", "opt",
                      "n_chunks", "max_steps", "inc", "net_cfg",
-                     "schedule", "has_mesh"))
+                     "schedule", "has_mesh", "shade_cap_div"))
 def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo,
                        net_params, mesh_color, mesh_depth, *, width: int,
                        height: int, fx: float, fy: float,
                        opt: FrozenOptions, n_chunks: int,
                        max_steps: int, inc: int,
                        net_cfg: Optional[GuidanceNetConfig],
-                       schedule=DEFAULT_SCHEDULE, has_mesh: bool = False):
+                       schedule=DEFAULT_SCHEDULE, has_mesh: bool = False,
+                       shade_cap_div: int = 4):
     img, aux = _render_noisy(
         tree, transform, state_hi, state_lo, width=width, height=height,
         fx=fx, fy=fy, opt=opt, n_chunks=n_chunks, max_steps=max_steps,
         inc=inc, schedule=schedule,
         mesh_color=mesh_color if has_mesh else None,
-        mesh_depth=mesh_depth if has_mesh else None)
+        mesh_depth=mesh_depth if has_mesh else None,
+        shade_cap_div=shade_cap_div)
     if opt.denoise and net_cfg is not None:
         aux_nhwc = jnp.moveaxis(aux, 0, -1)
         img = _denoise(aux_nhwc, img, net_params, net_cfg)
@@ -887,7 +909,7 @@ class Renderer:
                  fy: float, options: Optional[RenderOptions] = None,
                  n_chunks: int = 0, max_steps: int = 8192, seed: int = 20230418,
                  schedule=DEFAULT_SCHEDULE, phase1_steps=None,
-                 compact_frac=None):
+                 compact_frac=None, shade_cap_div: int = 4):
         self.tree = tree
         self.width = width
         self.height = height
@@ -905,6 +927,7 @@ class Renderer:
             schedule = (((phase1_steps, 1), (0, compact_frac))
                         if compact_frac > 1 else ((0, 1),))
         self.schedule = tuple(tuple(x) for x in schedule)
+        self.shade_cap_div = int(shade_cap_div)
         self.rng = Pcg32(seed)
         self.net_cfg: Optional[GuidanceNetConfig] = None
         self.net_params = None
@@ -952,7 +975,8 @@ class Renderer:
             opt=FrozenOptions.from_options(opt),
             n_chunks=self.n_chunks, max_steps=self.max_steps,
             inc=self.rng.inc, net_cfg=self.net_cfg if denoise else None,
-            schedule=self.schedule, has_mesh=has_mesh)
+            schedule=self.schedule, has_mesh=has_mesh,
+            shade_cap_div=self.shade_cap_div)
 
     def render_with_probe(self, transform: np.ndarray, **kw):
         """render() plus the lumisphere probe overlay when
@@ -1018,7 +1042,7 @@ def _auto_chunks(height: int) -> int:
 
 _render_noisy_jit = functools.partial(jax.jit, static_argnames=(
     "width", "height", "fx", "fy", "opt", "n_chunks", "max_steps",
-    "inc", "schedule"))(_render_noisy)
+    "inc", "schedule", "shade_cap_div"))(_render_noisy)
 
 
 @functools.partial(jax.jit, static_argnames=("net_cfg",))
@@ -1073,7 +1097,8 @@ def render_timed(renderer: "Renderer", transform, timer,
             fy=renderer.fy, opt=FrozenOptions.from_options(opt),
             n_chunks=renderer.n_chunks, max_steps=renderer.max_steps,
             inc=renderer.rng.inc, schedule=renderer.schedule,
-            mesh_color=mc, mesh_depth=md)
+            mesh_color=mc, mesh_depth=md,
+            shade_cap_div=renderer.shade_cap_div)
         sync(aux)
     if denoise:
         with timer.phase(T_NET):

@@ -34,19 +34,19 @@ from .renderer import (FrozenOptions, _init_march, _march_loop,
                        rodrigues_jnp)
 from ..utils.rng import pcg32_uniforms_range
 
-# Thin-step checkpoints mirroring the DEFAULT_SCHEDULE stage boundaries.
-# Brick stages (6/8/10/12 rounds) are mapped at ~1.5 thin steps per round
-# -- a measured UNDERestimate of brick progress on the bench scene (~2.2),
-# so derived caps are conservative.
-CHECKPOINTS = (2, 6, 16, 25, 37, 52, 70)
-# march kinds per derived stage (stage 0 is full width)
-KINDS = ("thin", "thin", "thin", "brick", "brick", "brick", "brick",
-         "brick")
-# steps budget per stage, in _march_loop counted steps (brick rounds
-# count t_in each): identical to DEFAULT_SCHEDULE
-STEPS = (2, 4, 10, 24, 32, 40, 48, 0)
-# brick sub-steps per round; the drain runs t_in=12 (measured)
-T_INS = (4, 4, 4, 4, 4, 4, 4, 12)
+# Thin-step checkpoints where the probe samples the survivor curve.
+# Brick-stage progress is mapped at ~1.5 thin steps per round -- a
+# measured UNDERestimate of brick progress on the bench scene (~2.2), so
+# derived caps are conservative.  A fine grid up front lets the DP place
+# early boundaries for hard-surface scenes whose rays die within ~10
+# steps (the measured solid-scene curve: 1/35th alive by step 16).
+CHECKPOINTS = (1, 2, 3, 4, 6, 8, 11, 16, 22, 30, 40, 52, 70)
+# boundaries at/after this thin-step count use the brick body
+BRICK_FROM = 14
+# brick sub-steps per round (t_in=4 measured best in-jit everywhere)
+T_IN_MID, T_IN_DRAIN = 4, 4
+# estimated drain rounds beyond the last checkpoint (cost model only)
+DRAIN_ROUNDS = 60.0
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -70,6 +70,11 @@ def _probe_counts(tree: DeviceTree, transform, state_hi, state_lo, *,
         state = _march_loop(tree, opt, spp, consts, state, cp - prev)
         prev = cp
         counts.append(jnp.sum(state[0].astype(jnp.int32)))
+    # upper bound on HIT rays (shade-cap sizing): rays that recorded a
+    # crossing so far, plus every still-alive ray (it may yet record)
+    hits_ub = jnp.sum((state[3] > 0).astype(jnp.int32)) + \
+        jnp.sum((state[0] & (state[3] == 0)).astype(jnp.int32))
+    counts.append(hits_ub)
     return jnp.stack(counts)
 
 
@@ -89,7 +94,7 @@ def probe_survivors(tree: DeviceTree, poses: Sequence[np.ndarray],
     sy = probe_res / float(height)
     opt = FrozenOptions.from_options(options)
     R = probe_res * probe_res
-    best = np.zeros(len(checkpoints), np.int64)
+    best = np.zeros(len(checkpoints) + 1, np.int64)
     for pose in poses:
         c = _probe_counts(
             tree, jnp.asarray(np.asarray(pose, np.float32)[:3]),
@@ -97,39 +102,105 @@ def probe_survivors(tree: DeviceTree, poses: Sequence[np.ndarray],
             width=probe_res, height=probe_res, fx=fx * sx, fy=fy * sy,
             opt=opt, inc=rng.inc, checkpoints=tuple(checkpoints))
         best = np.maximum(best, np.asarray(c, np.int64))
+    # [survivor fractions at checkpoints..., hit-ray upper-bound frac]
     return best / float(R)
 
 
 def derive_schedule(fracs: np.ndarray, margin: float = 1.4,
-                    max_divisor: float = 256.0) -> tuple:
-    """Survivor fractions at CHECKPOINTS -> (steps, divisor, kind) stages.
+                    max_divisor: float = 256.0,
+                    checkpoints: tuple = CHECKPOINTS) -> tuple:
+    """Survivor fractions at ``checkpoints`` -> (steps, divisor, kind,
+    t_in) stages, with compaction boundaries placed by a small DP over
+    the measured TPU cost model.
 
-    divisor_i = 1 / (frac_i * margin), monotone nondecreasing, so each
-    stage's cap holds the measured survivors with headroom; a divisor
-    that stops paying (< 1.15x the previous width) keeps the previous
-    width (compaction costs ~(W_in + W_out) x 17ns -- skip tiny drops).
+    March rounds and compactions both cost ~17 ns per row (PERF.md), so
+    in units of R x 17ns: marching from checkpoint i to j at width w_i
+    costs w_i * (cp_j - cp_i), and compacting at j costs (w_i + w_j).
+    The DP minimizes total cost over boundary subsets -- hard-surface
+    scenes (survivors collapse within ~10 steps) get aggressive early
+    compaction; soft-fringe scenes keep the shallow early stages.
+    Widths carry ``margin`` so every cap holds the measured survivors;
+    a cap overflow at render time falls back at-width (never wrong).
     """
-    fracs = np.asarray(fracs, np.float64)
-    stages = [(STEPS[0], 1.0, KINDS[0], T_INS[0])]
-    prev_div = 1.0
-    for i, frac in enumerate(fracs):
-        div = 1.0 / max(frac * margin, 1.0 / max_divisor)
-        div = float(np.clip(div, prev_div, max_divisor))
-        if div < prev_div * 1.15:
-            div = prev_div
-        stages.append((STEPS[i + 1], div, KINDS[i + 1], T_INS[i + 1]))
-        prev_div = div
+    fracs = np.asarray(fracs, np.float64)[:len(checkpoints)]
+    cps = np.asarray(checkpoints, np.float64)
+    n = len(cps)
+    # node 0 = frame start (width 1); nodes 1..n = checkpoints, where
+    # node i's width (fraction of R) is the margined survivor count
+    nodes = np.concatenate([[0.0], cps])
+    wid = np.concatenate(
+        [[1.0], np.clip(fracs * margin, 1.0 / max_divisor, 1.0)])
+    # best[j] = min cost of reaching node j having just compacted there
+    # (units: R x 17ns -- march wid*steps, compact wid_in + wid_out)
+    best = np.full(n + 1, np.inf)
+    prev = np.full(n + 1, -1, np.int64)
+    best[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(j):
+            if best[i] == np.inf or wid[j] >= wid[i] * 0.999:
+                continue  # compacting to a non-smaller width: pure cost
+            c = best[i] + wid[i] * (nodes[j] - nodes[i]) + \
+                (wid[i] + wid[j])
+            if c < best[j]:
+                best[j] = c
+                prev[j] = i
+    # close each candidate last boundary with the march to the end of
+    # the grid plus the estimated drain, all at that boundary's width
+    close = best + wid * ((nodes[-1] - nodes) + DRAIN_ROUNDS)
+    jlast = int(np.argmin(close))
+    chain = []
+    j = jlast
+    while j > 0:
+        chain.append(j)
+        j = int(prev[j])
+    chain.reverse()
+
+    stages = []
+    prev_cp, prev_div = 0.0, 1.0
+    for j in chain:
+        cp = nodes[j]
+        seg = cp - prev_cp
+        if seg > 0:
+            if prev_cp >= BRICK_FROM:
+                # brick rounds mapped at 1.5 thin steps/round -- a
+                # measured UNDERestimate of delivery (~2.2), so rounds
+                # overshoot progress and every boundary cap holds with
+                # extra headroom (an A/B of tighter mappings with
+                # re-derived conservative caps measured WORSE on both
+                # bench scenes: tools/round3_exp6.py)
+                rounds = max(int(np.ceil(seg / 1.5)), 1)
+                stages.append((rounds * T_IN_MID, prev_div, "brick",
+                               T_IN_MID))
+            else:
+                stages.append((int(seg), prev_div, "thin", T_IN_MID))
+        prev_cp = cp
+        prev_div = min(float(1.0 / wid[j]), max_divisor)
+    stages.append((0, prev_div, "brick", T_IN_DRAIN))
     return tuple(stages)
+
+
+def derive_shade_div(hit_frac: float, margin: float = 1.5,
+                     max_div: int = 16) -> int:
+    """Hit-ray upper-bound fraction -> shade compaction divisor (the
+    [R // div, spp] hit-compact cap in renderer._shade); conservative
+    floor of 4 matches the untuned default's worst-case assumption."""
+    div = int(1.0 / max(float(hit_frac) * margin, 1.0 / max_div))
+    return int(np.clip(div, 1, max_div))
 
 
 def auto_schedule(tree: DeviceTree, poses, options: RenderOptions,
                   fx: float, fy: float, width: int, height: int,
-                  probe_res: int = 200, margin: float = 1.4) -> tuple:
-    """One-call tuner: probe ``poses`` and derive the stage schedule."""
+                  probe_res: int = 200, margin: float = 1.4,
+                  with_shade_div: bool = False):
+    """One-call tuner: probe ``poses`` and derive the stage schedule
+    (plus the shade-cap divisor when ``with_shade_div``)."""
     poses = np.asarray(poses, np.float32)
     if poses.ndim == 2:
         poses = poses[None]
     poses = [p[:3] for p in poses]
     fracs = probe_survivors(tree, poses, options, fx, fy, width, height,
                             probe_res=probe_res)
-    return derive_schedule(fracs, margin=margin)
+    sched = derive_schedule(fracs, margin=margin)
+    if with_shade_div:
+        return sched, derive_shade_div(fracs[-1])
+    return sched

@@ -493,9 +493,12 @@ def test_web_viewer_end_to_end(tmp_path):
         assert st2["center"] != st["center"]
 
         # -- mesh load + visibility (main.cpp:439-465) --
+        # triangle IN FRONT of the volume (the narrow-FOV test camera
+        # sees the opaque shell everywhere, so only the depth clip is
+        # observable): plane z=2.5 sits between camera (~z 4) and shell
         obj = tmp_path / "tri.obj"
-        obj.write_text("v -2 -2 0 1 0 0\nv 2 -2 0 1 0 0\n"
-                       "v 0 2 0 1 0 0\nf 1 2 3\n")
+        obj.write_text("v -6 -6 2.5 1 0 0\nv 6 -6 2.5 1 0 0\n"
+                       "v 0 6 2.5 1 0 0\nf 1 2 3\n")
         png_nomesh = frame()
         post({"type": "load_mesh", "path": str(obj)})
         st3 = json.loads(urllib.request.urlopen(f"{base}/state",
@@ -505,6 +508,25 @@ def test_web_viewer_end_to_end(tmp_path):
         assert png_mesh != png_nomesh
         post({"type": "mesh_vis", "index": 0, "visible": False})
         post({"type": "clear_meshes"})
+
+        # -- tree load-at-runtime (main_web.cpp load_local) --
+        tree2 = tmp_path / "tree2.npz"
+        synthetic.save_npz(
+            synthetic.make_synthetic_tree("blobs", depth=3, basis_dim=1),
+            str(tree2))
+        png_before_load = frame()
+        post({"type": "load_tree", "path": str(tree2)})
+        png_after_load = frame()
+        assert png_after_load != png_before_load
+        req = urllib.request.Request(
+            f"{base}/event", data=json.dumps(
+                {"type": "load_tree", "path": "/no/such.npz"}).encode(),
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
 
         # -- invalid option: 400, live options untouched --
         req = urllib.request.Request(

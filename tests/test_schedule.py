@@ -25,23 +25,32 @@ def test_probe_and_derive(scene):
     opt = RenderOptions(spp=2, denoise=False)
     fracs = probe_survivors(dt, [cam.transform[:3]], opt, 80.0, 80.0,
                             64, 64, probe_res=32)
-    assert fracs.shape == (len(CHECKPOINTS),)
+    # checkpoints + the trailing hit-ray upper-bound fraction
+    assert fracs.shape == (len(CHECKPOINTS) + 1,)
     # survivor fraction is monotone nonincreasing and sane
-    assert np.all(np.diff(fracs) <= 1e-9)
-    assert fracs[0] <= 1.0
+    assert np.all(np.diff(fracs[:-1]) <= 1e-9)
+    assert fracs[0] <= 1.0 and fracs[-1] <= 1.0
 
     sched = derive_schedule(fracs)
     assert sched[0][1] == 1.0
     divs = [s[1] for s in sched]
     assert all(b >= a for a, b in zip(divs, divs[1:]))  # monotone
-    # caps hold the measured survivors with margin
-    R = 32 * 32
-    for frac, (steps, div, kind) in zip(fracs, sched[1:]):
-        assert frac * R <= R / div + 1e-6 or div == divs[0]
+    # the DP's boundary caps hold the measured survivors with margin:
+    # walk cumulative thin-equivalent steps and compare with the probed
+    # curve (brick stages deliver >= steps/1.5... mapped conservatively)
+    cum = 0.0
+    for (steps, div, kind, t_in), (nsteps, ndiv, *_r) in zip(
+            sched, sched[1:]):
+        cum += steps if kind == "thin" else steps / 4 * 1.5
+        # survivor frac at the nearest probed checkpoint <= cum
+        idx = max([i for i, cp in enumerate(CHECKPOINTS) if cp <= cum],
+                  default=0)
+        assert fracs[idx] <= 1.0 / ndiv + 1e-6
+    assert sched[-1][0] == 0 and sched[-1][3] == 4  # drain stage
 
     sched2 = auto_schedule(dt, cam.transform, opt, 80.0, 80.0, 64, 64,
                            probe_res=32)
-    assert len(sched2) == len(CHECKPOINTS) + 1
+    assert sched2[-1][0] == 0
 
 
 def test_auto_schedule_render_matches_default(scene):
@@ -94,3 +103,37 @@ def test_overflow_pose_correct_and_bounded(scene):
     # fallback drain at ~the rays actually marched, nowhere near
     # max_steps x width (which would take minutes on CPU)
     assert wall < 60.0
+
+
+def test_shade_cap_div_matches_default(scene):
+    """The probed shade cap changes performance only; an overflowing cap
+    falls back to dense shading -- output identical either way."""
+    from rt_octree_tpu.render.renderer import Renderer
+    from rt_octree_tpu.render.schedule import derive_shade_div
+
+    tree, dt = scene
+    W = H = 32
+    cam = Camera(width=W, height=H, fx=40.0, fy=40.0)
+    opt = RenderOptions(spp=2, denoise=False)
+    imgs = []
+    for div in (4, 8, 64):  # 64 overflows -> dense branch
+        r = Renderer(dt, W, H, 40.0, 40.0, options=opt, max_steps=512,
+                     shade_cap_div=div)
+        imgs.append(np.asarray(r.render(cam.transform)[0]))
+    np.testing.assert_allclose(imgs[1], imgs[0], atol=2e-6)
+    np.testing.assert_allclose(imgs[2], imgs[0], atol=2e-6)
+    assert derive_shade_div(0.11) == 6
+    assert derive_shade_div(0.5) == 1
+    assert derive_shade_div(0.001) == 16
+
+
+def test_auto_schedule_with_shade_div(scene):
+    from rt_octree_tpu.render.schedule import auto_schedule
+
+    tree, dt = scene
+    cam = Camera(width=48, height=48, fx=60.0, fy=60.0)
+    opt = RenderOptions(spp=2, denoise=False)
+    sched, div = auto_schedule(dt, cam.transform, opt, 60.0, 60.0, 48, 48,
+                               probe_res=24, with_shade_div=True)
+    assert 1 <= div <= 16
+    assert sched[-1] == (0, sched[-1][1], "brick", 4)
