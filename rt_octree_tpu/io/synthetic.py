@@ -207,6 +207,87 @@ def make_synthetic_tree(kind: str = "shell", depth: int = 7,
     raise ValueError(kind)
 
 
+def refine_tree(tree: N3Tree, sigma_fn: Callable, color_fn: Callable,
+                levels: int = 2, max_refine: int = 150_000,
+                sigma_eps: float = 1e-2) -> N3Tree:
+    """Subdivide the tree's DEEPEST occupied leaves ``levels`` further,
+    evaluating sigma/color at the finer cell centers.
+
+    Dense-grid generation at depth 11 needs a 2048^3 occupancy grid
+    (tens of GB); this instead deepens an existing tree only where
+    occupied -- the same surface-sparse structure real PlenOctrees have.
+    ``max_refine`` bounds the per-level refinement (deterministic
+    stride subsample)."""
+    N = tree.N
+    assert N == 2
+    N3 = 8
+    data_dim = tree.data_dim
+    child = tree.child.reshape(-1, N3).copy()
+    data = tree.data.reshape(-1, N3, data_dim).copy()
+
+    # level-order sweep: per-node depth + cell coords (resolution
+    # 2^depth), vectorized one frontier at a time
+    cap = child.shape[0]
+    node_depth = np.zeros(cap, np.int32)
+    node_cell = np.zeros((cap, 3), np.int64)
+    ii, jj, kk = np.meshgrid(np.arange(2), np.arange(2), np.arange(2),
+                             indexing="ij")
+    digits = np.stack([ii, jj, kk], -1).reshape(N3, 3)
+    frontier = np.array([0], np.int64)
+    d = 0
+    while len(frontier):
+        sk = child[frontier]  # [F, 8]
+        mask = sk != 0
+        kid_ids = (frontier[:, None] + sk)[mask]
+        kid_cells = (node_cell[frontier][:, None, :] * 2 +
+                     digits[None, :, :])[mask]
+        node_depth[kid_ids] = d + 1
+        node_cell[kid_ids] = kid_cells
+        frontier = kid_ids
+        d += 1
+
+    max_d = int(node_depth.max()) + 1  # leaf depth of the deepest slots
+    for lvl in range(levels):
+        depth_now = max_d + lvl
+        # leaf slots at the current deepest level with sigma > eps
+        deepest = node_depth == depth_now - 1
+        cand_nodes, cand_slots = np.nonzero(
+            (child == 0) & deepest[:, None] &
+            (data[..., data_dim - 1].astype(np.float32) > sigma_eps))
+        if len(cand_nodes) > max_refine:
+            stride = len(cand_nodes) // max_refine + 1
+            cand_nodes = cand_nodes[::stride]
+            cand_slots = cand_slots[::stride]
+        k = len(cand_nodes)
+        if k == 0:
+            break
+        base = child.shape[0]
+        child[cand_nodes, cand_slots] = (base + np.arange(k) -
+                                         cand_nodes).astype(np.int32)
+        # new nodes' cells = refined slot cells; children at depth_now+1
+        slot_cell = (node_cell[cand_nodes] * 2 + digits[cand_slots])
+        child_cells = (slot_cell[:, None, :] * 2 +
+                       digits[None, :, :])  # [k, 8, 3]
+        res = float(2 ** (depth_now + 1))
+        centers = ((child_cells.astype(np.float64) + 0.5) / res
+                   ).reshape(-1, 3).astype(np.float32)
+        sig = sigma_fn(centers).astype(np.float16)
+        col = color_fn(centers, (data_dim - 1) // 3).astype(np.float16)
+        nd = np.concatenate([col, sig[:, None]], -1).reshape(k, N3,
+                                                             data_dim)
+        child = np.concatenate([child, np.zeros((k, N3), np.int32)])
+        data = np.concatenate([data, nd])
+        node_depth = np.concatenate(
+            [node_depth, np.full(k, depth_now, np.int32)])
+        node_cell = np.concatenate([node_cell, slot_cell])
+
+    return N3Tree(
+        data=data.reshape(-1, data_dim), child=child.reshape(-1),
+        offset=tree.offset, scale=tree.scale, N=N, data_dim=data_dim,
+        data_format=tree.data_format, capacity=child.shape[0],
+        max_depth=int(node_depth.max()) + 1)
+
+
 def make_deep_chain_tree(depth: int, basis_dim: int = 1) -> N3Tree:
     """Tiny tree of arbitrary depth: one node per level, slot 0
     subdivides into the next level, the other 7 slots are leaves with

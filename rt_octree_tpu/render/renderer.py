@@ -227,6 +227,9 @@ _BRICK_SELECT = "onehot"
 # while-loop unroll for non-final stages (tuner A/B knob): trades cond
 # evaluations for potential step overshoot within a stage budget
 _STAGE_UNROLL = 1
+# run fixed-budget mid stages as fori loops (no any(active) cond per
+# round) instead of early-exit whiles -- tuner A/B knob
+_MID_FORI = False
 
 
 def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
@@ -358,12 +361,31 @@ def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
 
 
 def _march_loop(tree, opt, spp, consts, state, steps: int,
-                unroll: int = 1, brick: bool = False, t_in: int = 4):
-    """While-march with optional K-step unrolling (fewer cond evaluations
-    and loop round-trips; the tail phases are latency-bound per round)."""
+                unroll: int = 1, brick: bool = False, t_in: int = 4,
+                early_exit: bool = True):
+    """March ``steps`` rounds.  ``early_exit`` uses a while loop with an
+    any(active) cond (right for the unbounded drain); fixed-budget mid
+    stages may run as a plain fori (marching dead rays is masked to
+    no-ops, and survivors rarely all die inside a stage budget)."""
     if steps <= 0:
         return state
     use_brick = brick and tree.brick_levels > 0
+    per_round = t_in * unroll if use_brick else unroll
+    n_rounds = max((steps + per_round - 1) // per_round, 1)
+
+    def round_body(st):
+        if use_brick:
+            for _ in range(unroll):
+                st = _march_body_brick(tree, opt, spp, consts, st,
+                                       t_in=t_in)
+            return st
+        for _ in range(unroll):
+            st = _march_body(tree, opt, spp, consts, st)
+        return st
+
+    if not early_exit:
+        return jax.lax.fori_loop(0, n_rounds,
+                                 lambda i, st: round_body(st), state)
 
     def cond(sv):
         step, st = sv
@@ -371,14 +393,7 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
 
     def body(sv):
         step, st = sv
-        if use_brick:
-            for _ in range(unroll):
-                st = _march_body_brick(tree, opt, spp, consts, st,
-                                       t_in=t_in)
-            return step + t_in * unroll, st
-        for _ in range(unroll):
-            st = _march_body(tree, opt, spp, consts, st)
-        return step + unroll, st
+        return step + per_round, round_body(st)
 
     _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return out
@@ -570,7 +585,8 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
     def run_here(consts, state):
         st = _march_loop(tree, opt, spp, consts, state, steps,
                          unroll=4 if last else _STAGE_UNROLL,
-                         brick=brick, t_in=t_in)
+                         brick=brick, t_in=t_in,
+                         early_exit=last or not _MID_FORI)
         if last:
             return st[5], st[6]
         return _march_schedule(tree, opt, spp, consts, st, rest,

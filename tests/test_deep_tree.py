@@ -87,3 +87,27 @@ def test_ptr_overflow_explicit_fallback(tree6, monkeypatch, capsys):
     img, cam, opt = _render(dt, tree6, ((4, 1.0, "thin"), (0, 4.0, "thin")))
     ref, _ = render_frame_oracle(tree6, cam, opt, Pcg32(20230418))
     np.testing.assert_allclose(img, ref, atol=2e-5)
+
+
+def test_refine_tree_deepens_and_renders_exact():
+    """refine_tree: depth-4 shell -> depth-6 at occupied leaves; the
+    refined tree renders oracle-exact through the sparse brick path."""
+    from rt_octree_tpu.core.oracle import render_frame_oracle
+    from rt_octree_tpu.utils.rng import Pcg32
+
+    base = synthetic.make_synthetic_tree("shell", depth=4, basis_dim=4)
+    res = 2 ** 4
+    thickness = max(3.0 / res, 0.02)
+    tree = synthetic.refine_tree(
+        base,
+        lambda p: synthetic.shell_sigma(p, thickness=thickness,
+                                        amplitude=4.0 / thickness),
+        synthetic.position_color, levels=2)
+    assert tree.max_depth == 6
+    assert tree.capacity > base.capacity
+    dt = upload_tree(tree, lut_levels=4, force_sparse_brick=True)
+    assert dt.brick_indirect
+    sched = ((2, 1.0, "thin"), (4, 2.0, "brick"), (0, 4.0, "brick"))
+    img, cam, opt = _render(dt, tree, sched, size=24)
+    ref, _ = render_frame_oracle(tree, cam, opt, Pcg32(20230418))
+    np.testing.assert_allclose(img, ref, atol=2e-5)

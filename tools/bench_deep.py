@@ -34,14 +34,23 @@ FRAMES = int(os.environ.get("RT_DEEP_FRAMES", "10"))
 
 
 def get_tree():
+    """Depth-11 tree = the cached depth-9 shell refined 2 levels at its
+    occupied deepest leaves (a dense 2048^3 occupancy grid would need
+    tens of GB; refinement gives the same surface-sparse deep class)."""
     from rt_octree_tpu.io import n3tree, synthetic
-    path = os.path.join(CACHE, f"shell_d{DEPTH}_sh4.npz")
+    path = os.path.join(CACHE, f"shell_d{DEPTH}_refined.npz")
     if os.path.exists(path):
         return n3tree.load(path)
     t0 = time.time()
-    tree = synthetic.make_synthetic_tree("shell", depth=DEPTH,
-                                         basis_dim=4)
-    print(f"built depth-{DEPTH} tree: {tree.capacity} nodes "
+    base = n3tree.load(os.path.join(CACHE, "shell_d9_sh9.npz"))
+    res = 2 ** 9
+    thickness = max(3.0 / res, 0.02)
+    tree = synthetic.refine_tree(
+        base,
+        lambda p: synthetic.shell_sigma(p, thickness=thickness,
+                                        amplitude=4.0 / thickness),
+        synthetic.position_color, levels=DEPTH - 9)
+    print(f"refined to depth-{tree.max_depth}: {tree.capacity} nodes "
           f"({time.time()-t0:.0f}s)", flush=True)
     synthetic.save_npz(tree, path)
     return tree
