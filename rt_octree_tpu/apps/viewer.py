@@ -189,11 +189,13 @@ class ViewerState:
     lock."""
 
     def __init__(self, tree_path: str, width: int = 512, height: int = 512,
-                 gnet: str = "", lut_levels: int = 7, spp: int = 4):
+                 gnet: str = "", lut_levels: int = 7, spp: int = 4,
+                 auto_schedule: bool = False):
         import jax  # noqa: F401  (device init before first render)
         from ..core.camera import Camera
         from ..core.options import RenderOptions
 
+        self.auto_schedule = auto_schedule
         self.lut_levels = lut_levels
         self.cam = Camera(width=width, height=height)
         self._options = RenderOptions(spp=spp, denoise=False)
@@ -216,9 +218,16 @@ class ViewerState:
         self.tree_host = n3tree.load(tree_path)
         self.dt = upload_tree(self.tree_host, lut_levels=min(
             self.lut_levels, self.tree_host.max_depth))
+        kw = {}
+        if self.auto_schedule:
+            from ..render.schedule import auto_schedule
+            kw["schedule"], kw["shade_cap_div"] = auto_schedule(
+                self.dt, self.cam.transform, self._options, self.cam.fx,
+                self.cam.fy, self.cam.width, self.cam.height,
+                with_shade_div=True)
         self.renderer = Renderer(self.dt, self.cam.width, self.cam.height,
                                  self.cam.fx, self.cam.fy,
-                                 options=self._options)
+                                 options=self._options, **kw)
         if self._gnet:
             self.renderer.set_denoiser(self._gnet)
         if self._options.show_grid:
@@ -428,9 +437,13 @@ def run(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--gnet", default="", help="compact .gnet denoiser")
     p.add_argument("--lut_levels", type=int, default=7)
     p.add_argument("--spp", type=int, default=4)
+    p.add_argument("--auto_schedule", action="store_true",
+                   help="probe the scene and tune the march schedule + "
+                        "shade cap at load (and on each tree load)")
     args = p.parse_args(argv)
     state = ViewerState(args.file, args.width, args.height, args.gnet,
-                        args.lut_levels, args.spp)
+                        args.lut_levels, args.spp,
+                        auto_schedule=args.auto_schedule)
     serve(state, args.port)
     return 0
 

@@ -47,6 +47,12 @@ BRICK_FROM = 14
 T_IN_MID, T_IN_DRAIN = 4, 4
 # estimated drain rounds beyond the last checkpoint (cost model only)
 DRAIN_ROUNDS = 60.0
+# relative per-THIN-EQUIVALENT-STEP cost of brick marching: a brick
+# round costs ~2x a thin round per row (520B row + the sub-step VPU
+# block) and delivers ~1.5 steps -> 2/1.5.  Without this the DP
+# under-compacts in the brick phase (measured 43 ms worse than the
+# hand schedule on the shell with near-identical divisors).
+BRICK_STEP_COST = 2.0 / 1.5
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -132,6 +138,13 @@ def derive_schedule(fracs: np.ndarray, margin: float = 1.4,
         [[1.0], np.clip(fracs * margin, 1.0 / max_divisor, 1.0)])
     # best[j] = min cost of reaching node j having just compacted there
     # (units: R x 17ns -- march wid*steps, compact wid_in + wid_out)
+    def seg_cost(a, b):
+        """March cost of thin-equivalent steps [a, b] at unit width:
+        thin steps cost 1, brick-phase steps cost BRICK_STEP_COST."""
+        thin = max(min(b, BRICK_FROM) - a, 0.0)
+        brick = max(b - max(a, BRICK_FROM), 0.0)
+        return thin + brick * BRICK_STEP_COST
+
     best = np.full(n + 1, np.inf)
     prev = np.full(n + 1, -1, np.int64)
     best[0] = 0.0
@@ -139,14 +152,16 @@ def derive_schedule(fracs: np.ndarray, margin: float = 1.4,
         for i in range(j):
             if best[i] == np.inf or wid[j] >= wid[i] * 0.999:
                 continue  # compacting to a non-smaller width: pure cost
-            c = best[i] + wid[i] * (nodes[j] - nodes[i]) + \
+            c = best[i] + wid[i] * seg_cost(nodes[i], nodes[j]) + \
                 (wid[i] + wid[j])
             if c < best[j]:
                 best[j] = c
                 prev[j] = i
     # close each candidate last boundary with the march to the end of
     # the grid plus the estimated drain, all at that boundary's width
-    close = best + wid * ((nodes[-1] - nodes) + DRAIN_ROUNDS)
+    close = best + wid * np.array(
+        [seg_cost(x, nodes[-1]) + DRAIN_ROUNDS * BRICK_STEP_COST
+         for x in nodes])
     jlast = int(np.argmin(close))
     chain = []
     j = jlast
