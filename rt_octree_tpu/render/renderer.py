@@ -147,6 +147,54 @@ def _dda_unit(local, invdir):
     return jnp.minimum(1e4, jnp.maximum(t1, t2).min(-1))
 
 
+# ---- distinct-leaf recording state --------------------------------------
+# The march records up to spp (leaf_ptr, crossing_count) pairs per ray.
+# When every leaf pointer fits in 27 bits (ptr indexes tree.chs rows; the
+# packed jump LUT has the same bound) and counts fit in 5 (c <= spp < 32),
+# a record packs into ONE i32 lane: ptr | c << 27.  This halves the
+# recording write-backs in the march bodies, the record lanes in the
+# compaction bundle, and the stage write-back scatters.  Bigger trees /
+# spp fall back to a [R, 2*spp] i32 array (ptr lanes, then f32 count
+# bits) with identical semantics.  Whether recs is packed is recoverable
+# from its static width (spp vs 2*spp), so helpers need no extra flag.
+
+REC_CNT_SHIFT = LUT_PTR_BITS
+REC_PTR_MASK = (1 << REC_CNT_SHIFT) - 1
+
+
+def _recs_packed(tree: DeviceTree, spp: int) -> bool:
+    return spp < 32 and tree.chs.shape[0] <= (1 << REC_CNT_SHIFT)
+
+
+def _recs_init(tree: DeviceTree, R: int, spp: int):
+    width = spp if _recs_packed(tree, spp) else 2 * spp
+    return jnp.zeros((R, width), jnp.int32)
+
+
+def _recs_write(recs, spp: int, slot, sub_ptr, c):
+    """Write (sub_ptr, c) into the slots flagged by ``slot`` [R, spp]."""
+    if recs.shape[1] == spp:
+        val = sub_ptr | (c << REC_CNT_SHIFT)
+        return jnp.where(slot, val[:, None], recs)
+    c_bits = jax.lax.bitcast_convert_type(c.astype(jnp.float32), jnp.int32)
+    slot2 = jnp.concatenate([slot, slot], axis=1)
+    val2 = jnp.concatenate(
+        [jnp.broadcast_to(sub_ptr[:, None], slot.shape),
+         jnp.broadcast_to(c_bits[:, None], slot.shape)], axis=1)
+    return jnp.where(slot2, val2, recs)
+
+
+def _recs_split(recs, spp: int):
+    """recs -> (leafs [R, spp] i32, cnts [R, spp] f32) for shading."""
+    if recs.shape[1] == spp:
+        leafs = recs & REC_PTR_MASK
+        # >> is arithmetic on i32; the mask drops sign-extension bits
+        cnts = ((recs >> REC_CNT_SHIFT) & 0x1F).astype(jnp.float32)
+        return leafs, cnts
+    return recs[:, :spp], jax.lax.bitcast_convert_type(
+        recs[:, spp:], jnp.float32)
+
+
 def _step_update(opt, spp: int, consts, state, sub_ptr, t_sub, sigma,
                  mask):
     """Advance rays one leaf step given the leaf info (rt_core.cuh:241-270
@@ -157,7 +205,7 @@ def _step_update(opt, spp: int, consts, state, sub_ptr, t_sub, sigma,
     preserves the reference t sequence, since the epsilon never
     accumulates: every step lands at geometric boundary + one epsilon)."""
     (cen_t, d_t, invdir, delta_scale, dst, tmax) = consts
-    (active, t, src, sppc, shn, leafs, cnts) = state
+    (active, t, src, sppc, shn, recs) = state
     sigma_thresh = jnp.float32(opt.sigma_thresh)
     step_size = jnp.float32(opt.step_size)
     iota_spp = jnp.arange(spp, dtype=jnp.int32)
@@ -172,15 +220,14 @@ def _step_update(opt, spp: int, consts, state, sub_ptr, t_sub, sigma,
     c = jnp.maximum(n_leq - sppc, 0)
     rec = has_sigma & (c > 0)
     slot = (iota_spp[None, :] == shn[:, None]) & rec[:, None]
-    leafs = jnp.where(slot, sub_ptr[:, None], leafs)
-    cnts = jnp.where(slot, c[:, None].astype(jnp.float32), cnts)
+    recs = _recs_write(recs, spp, slot, sub_ptr, c)
     shn = shn + rec.astype(jnp.int32)
     sppc = sppc + jnp.where(rec, c, 0)
 
     src = jnp.where(has_sigma, s_new, src)
     t = jnp.where(mask, t + delta_t, t)
     active = active & (t < tmax) & (sppc < spp)
-    return (active, t, src, sppc, shn, leafs, cnts)
+    return (active, t, src, sppc, shn, recs)
 
 
 def _query_step(tree: DeviceTree, pos, invdir, active):
@@ -260,7 +307,7 @@ def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
     dead either way -- only dead-ray t/src over-advance, which no later
     round reads."""
     (cen_t, d_t, invdir, delta_scale, dst, tmax) = consts
-    (active0, t, src, sppc, shn, leafs, cnts) = state
+    (active0, t, src, sppc, shn, recs) = state
     L = tree.brick_levels
     resL = tree.N ** L
     iota64 = jnp.arange(64, dtype=jnp.int32)
@@ -351,15 +398,29 @@ def _march_body_brick(tree: DeviceTree, opt, spp: int, consts, state,
         rec[:, :, None]                                   # [R, t_in, spp]
     wrote = jnp.any(onehot_s, axis=1)                     # [R, spp]
     oh = onehot_s.astype(jnp.int32)
-    leafs = jnp.where(wrote, jnp.sum(ptr_all[:, :, None] * oh, axis=1),
-                      leafs)
-    cnts = jnp.where(wrote,
-                     jnp.sum(c_all[:, :, None].astype(jnp.float32) *
-                             oh.astype(jnp.float32), axis=1), cnts)
+    if recs.shape[1] == spp:
+        # packed records: ONE [R, t_in, spp] select instead of two.
+        # Each (ray, slot) column has at most one onehot_s=1 across t_in
+        # (slot is strictly increasing per recording sub-step), so the
+        # sum picks exactly one packed value -- no overflow even with
+        # the count riding the sign bits.
+        pk_all = ptr_all | (c_all << REC_CNT_SHIFT)       # [R, t_in]
+        recs = jnp.where(wrote, jnp.sum(pk_all[:, :, None] * oh, axis=1),
+                         recs)
+    else:
+        leafs0, cnts0 = recs[:, :spp], recs[:, spp:]
+        leafs1 = jnp.where(wrote,
+                           jnp.sum(ptr_all[:, :, None] * oh, axis=1),
+                           leafs0)
+        c_bits = jax.lax.bitcast_convert_type(
+            jnp.sum(c_all[:, :, None].astype(jnp.float32) *
+                    oh.astype(jnp.float32), axis=1), jnp.int32)
+        cnts1 = jnp.where(wrote, c_bits, cnts0)
+        recs = jnp.concatenate([leafs1, cnts1], axis=1)
     shn = shn + jnp.sum(rec.astype(jnp.int32), axis=1)
     sppc = n_effs[-1]
     active = active0 & (t < tmax) & (sppc < spp)
-    return (active, t, src, sppc, shn, leafs, cnts)
+    return (active, t, src, sppc, shn, recs)
 
 
 def _march_loop(tree, opt, spp, consts, state, steps: int,
@@ -513,8 +574,7 @@ def _init_march(tree: DeviceTree, dirs, cens, dst, opt, tmax_bg=None):
         jnp.zeros(R, jnp.float32),
         jnp.zeros(R, jnp.int32),
         jnp.zeros(R, jnp.int32),
-        jnp.zeros((R, spp), jnp.int32),
-        jnp.zeros((R, spp), jnp.float32),
+        _recs_init(tree, R, spp),
     )
     return consts, state
 
@@ -523,19 +583,21 @@ def _pack_bundle(consts, state):
     """Bundle per-ray consts+state into one [R, K] i32 row so a compaction
     is a single gather.
 
-    Slimmed to 10+2*spp f32 + 1+spp i32 lanes (116B at spp=6; was 136B):
-    ``invdir`` is NOT carried -- it is a deterministic elementwise
-    function of the carried d_t, so recomputing it after unpack is
-    bit-exact and cheaper than gathering 12B/row -- and (active, sppc,
-    shn) ride one packed flag word (1+6+6 bits; sppc, shn <= spp <= 32).
+    Slimmed to 10+spp f32 + 1+spp i32 lanes (92B at spp=6; was 136B in
+    round 2): ``invdir`` is NOT carried -- it is a deterministic
+    elementwise function of the carried d_t, so recomputing it after
+    unpack is bit-exact and cheaper than gathering 12B/row -- (active,
+    sppc, shn) ride one packed flag word (1+6+6 bits; sppc, shn <= spp
+    <= 63), and each (leaf, count) record rides one packed i32 lane
+    (see _recs_write; +spp lanes when the tree needs unpacked records).
     The pack-gather sits in the measured 47-58M rows/s row-width regime,
     so every dropped lane is ~row-count x 4B of bandwidth back."""
     (cen_t, d_t, invdir, delta_scale, dst, tmax) = consts
-    (active, t, src, sppc, shn, leafs, cnts) = state
+    (active, t, src, sppc, shn, recs) = state
     f32_parts = [cen_t, d_t, delta_scale[:, None], dst, tmax[:, None],
-                 t[:, None], src[:, None], cnts]
+                 t[:, None], src[:, None]]
     flags = (active.astype(jnp.int32) | (sppc << 1) | (shn << 7))
-    i32_parts = [flags[:, None], leafs]
+    i32_parts = [flags[:, None], recs]
     f32 = jnp.concatenate(f32_parts, axis=1)
     i32 = jnp.concatenate(i32_parts, axis=1)
     return jnp.concatenate(
@@ -543,7 +605,7 @@ def _pack_bundle(consts, state):
 
 
 def _unpack_bundle(row, spp):
-    nf = 10 + 2 * spp
+    nf = 10 + spp
     f32 = jax.lax.bitcast_convert_type(row[:, :nf], jnp.float32)
     i32 = row[:, nf:]
     d_t = f32[:, 3:6]
@@ -552,15 +614,24 @@ def _unpack_bundle(row, spp):
               f32[:, 7:7 + spp], f32[:, 7 + spp])
     flags = i32[:, 0]
     state = ((flags & 1).astype(bool), f32[:, 8 + spp], f32[:, 9 + spp],
-             (flags >> 1) & 0x3F, (flags >> 7) & 0x3F, i32[:, 1:1 + spp],
-             f32[:, 10 + spp:10 + 2 * spp])
+             (flags >> 1) & 0x3F, (flags >> 7) & 0x3F, i32[:, 1:])
     return consts, state
 
 
 def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
                     base_width: Optional[int] = None):
     """Run the compaction schedule; returns (leafs, cnts) at the incoming
-    width.
+    width.  (Internally the records stay in their packed single-lane form
+    -- see _recs_write -- and split only here, once.)"""
+    recs = _march_schedule_recs(tree, opt, spp, consts, state, schedule,
+                                max_steps, base_width)
+    return _recs_split(recs, spp)
+
+
+def _march_schedule_recs(tree, opt, spp, consts, state, schedule,
+                         max_steps, base_width: Optional[int] = None):
+    """Run the compaction schedule; returns the recs array at the
+    incoming width.
 
     Each stage first compacts survivors into base_width//divisor lanes
     (when the divisor shrinks the width and the survivor count fits), then
@@ -590,9 +661,9 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
                          brick=brick, t_in=t_in,
                          early_exit=last or not _MID_FORI)
         if last:
-            return st[5], st[6]
-        return _march_schedule(tree, opt, spp, consts, st, rest,
-                               max_steps, base_width)
+            return st[5]
+        return _march_schedule_recs(tree, opt, spp, consts, st, rest,
+                                    max_steps, base_width)
 
     if cap >= R:
         return run_here(consts, state)
@@ -607,15 +678,13 @@ def _march_schedule(tree, opt, spp, consts, state, schedule, max_steps,
                        mode="fill", fill_value=0)
         c_consts, c_state = _unpack_bundle(row, spp)
         c_state = (c_state[0] & valid,) + c_state[1:]
-        c_leafs, c_cnts = run_here(c_consts, c_state)
-        leafs = state[5].at[idx].set(c_leafs, mode="drop")
-        cnts = state[6].at[idx].set(c_cnts, mode="drop")
-        return leafs, cnts
+        c_recs = run_here(c_consts, c_state)
+        return state[5].at[idx].set(c_recs, mode="drop")
 
     def full(_):
         st = _march_loop(tree, opt, spp, consts, state, max_steps,
                          unroll=2, brick=brick, t_in=t_in)
-        return st[5], st[6]
+        return st[5]
 
     return jax.lax.cond(n_active <= cap, compacted, full, None)
 

@@ -117,6 +117,24 @@ def test_compaction_paths_match_oracle(tree, compact_frac, phase1):
     np.testing.assert_allclose(np.asarray(img), img_ref, atol=2e-5)
 
 
+def test_spp32_unpacked_records_match_oracle(tree):
+    """spp=32 exceeds the 5-bit packed-record count budget, forcing the
+    unpacked [R, 2*spp] recording state (renderer._recs_write /
+    _march_body_brick fallback branches); both march bodies and the
+    compaction bundle must stay oracle-exact in that representation."""
+    from rt_octree_tpu.render import renderer as RR
+    cam = make_camera(12, 12)
+    opt = RenderOptions(spp=32, denoise=False, background_brightness=1.0)
+    dt = upload_tree(tree, lut_levels=3)
+    assert not RR._recs_packed(dt, 32)
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt,
+                 n_chunks=1)
+    img, aux = r.render(cam.transform)
+    rng = Pcg32(20230418)
+    img_ref, aux_ref = render_frame_oracle(tree, cam, opt, rng)
+    np.testing.assert_allclose(np.asarray(img), img_ref, atol=4e-5)
+
+
 def test_ndc_render_matches_oracle(tree):
     """LLFF NDC warp end-to-end vs oracle."""
     tree2 = synthetic.make_synthetic_tree("shell", depth=4, basis_dim=4)

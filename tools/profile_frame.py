@@ -106,7 +106,7 @@ def main():
             return RR._march_body(dt, opt, spp, consts, st)
 
         st = jax.lax.fori_loop(0, 40, body, state)
-        return vdirs, st[5], st[6]
+        return (vdirs,) + RR._recs_split(st[5], spp)
 
     vdirs, leafs, cnts = march_out(dt, transform, hi, lo)
     jax.block_until_ready((vdirs, leafs, cnts))

@@ -112,7 +112,7 @@ def main():
                 return RR._march_body_brick(dt, opt, spp, consts, st)
             return RR._march_body(dt, opt, spp, consts, st)
         st = jax.lax.fori_loop(0, rounds, body, state)
-        return st[6]
+        return st[5]
 
     t2 = timeit(functools.partial(march_n, rounds=2, brick=False), dt, pack,
                 label="thin march 2 rounds @640k")
@@ -189,7 +189,7 @@ def main():
             return RR._march_body(dt, opt, spp, consts, st)
         st = jax.lax.fori_loop(0, 16, body, state)
         vdirs = pack[:, 3:6]
-        return RR._shade(dt, vdirs, st[5], st[6], opt, spp)
+        return RR._shade(dt, vdirs, *RR._recs_split(st[5], spp), opt, spp)
 
     t_ms = timeit(march_and_shade, dt, pack, label="16 thin rounds + shade")
     print(f"    -> shade approx: {(t_ms - (t2 + (t8-t2)/6*14))*1e3:.2f} ms",

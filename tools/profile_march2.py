@@ -244,7 +244,7 @@ def main():
             return RR._march_body(dt, opt, spp, consts, st)
 
         st = jax.lax.fori_loop(0, rounds, body, state)
-        return st[6]
+        return st[5]
 
     for rsub in (163840, 40960, 8192):
         for t_in, brick in ((1, False), (4, True), (6, True), (8, True)):

@@ -114,7 +114,7 @@ def main():
 
         i, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
         # extras distribution at the end: slots >= 1 with hits
-        extras = jnp.sum((st[6][:, 1:] > 0).astype(jnp.int32))
+        extras = jnp.sum((RR._recs_split(st[5], spp)[1][:, 1:] > 0).astype(jnp.int32))
         return jnp.stack([i, jnp.sum(st[0].astype(jnp.int32)), extras])
 
     out = np.asarray(drain_count(dt, bundle64, steps=4096))
@@ -131,7 +131,7 @@ def main():
             return RR._march_body(dt, opt, spp, consts, st)
 
         st = jax.lax.fori_loop(0, rounds, body, state)
-        return st[6]
+        return st[5]
 
     for rsub in (640000, 163840, 40960, 8192):
         a = timeit(functools.partial(march_n, rounds=2, rsub=rsub), dt,
