@@ -77,8 +77,7 @@ def main():
         consts = (cen_t, d_t, invdir, delta_scale, dst, tmax)
         state = (hit, tmin, jnp.zeros(R, jnp.float32),
                  jnp.zeros(R, jnp.int32), jnp.zeros(R, jnp.int32),
-                 jnp.zeros((R, spp), jnp.int32),
-                 jnp.zeros((R, spp), jnp.float32))
+                 RR._recs_init(dt, R, spp))
         return RR._pack_bundle(consts, state)
 
     bundle0 = setup(transform, hi, lo)
