@@ -20,6 +20,44 @@ import jax.numpy as jnp
 _BLOCK = 512
 
 
+def exclusive_rank(mask: jax.Array) -> jax.Array:
+    """Exclusive rank of each True entry among the True entries, [n] i32.
+
+    ``rank[i] = #{j < i : mask[j]}`` -- only meaningful where ``mask`` is
+    True (callers mask/clamp elsewhere).  Two-level scan, NOT a full-width
+    ``jnp.cumsum`` (which XLA lowers to O(log n) whole-array passes,
+    ~7 ms at 640k)."""
+    n = mask.shape[0]
+    if n % _BLOCK or n <= _BLOCK:
+        mi = mask.astype(jnp.int32)
+        return jnp.cumsum(mi) - mi
+    m2 = mask.reshape(-1, _BLOCK)
+    mi = m2.astype(jnp.int32)
+    cnt = jnp.sum(mi, axis=1)  # [B]
+    offs = jnp.cumsum(cnt) - cnt  # [B] exclusive
+    within = jnp.cumsum(mi, axis=1) - mi  # [B, BLOCK] exclusive (lane scan)
+    return (offs[:, None] + within).reshape(-1)
+
+
+def fast_nonzero_rank(mask: jax.Array, size: int, fill_value: int):
+    """``(fast_nonzero(mask, size, fill_value), exclusive_rank(mask))``
+    sharing one rank pass.  ``idx`` and ``rank`` are inverse maps between
+    the packed and the full layout: ``idx[rank[i]] == i`` for active ``i``
+    with ``rank[i] < size`` -- the march's compaction boundaries use
+    ``rank`` to merge child results back by GATHER instead of scatter
+    (set-scatter measures ~4x a gather per row)."""
+    n = mask.shape[0]
+    rank = exclusive_rank(mask)
+    if n % _BLOCK or n <= _BLOCK:
+        return jnp.nonzero(mask, size=size, fill_value=fill_value)[0], rank
+    # inactive lanes and overflow actives land in the sacrificial slot
+    pos = jnp.where(mask, jnp.minimum(rank, size), size)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
+    out = jnp.full((size + 1,), fill_value, jnp.int32)
+    out = out.at[pos].set(idx, mode="drop", unique_indices=False)
+    return out[:size], rank
+
+
 def fast_nonzero(mask: jax.Array, size: int, fill_value: int) -> jax.Array:
     """Packed ascending indices of True entries, shape [size] int32.
 
@@ -30,15 +68,4 @@ def fast_nonzero(mask: jax.Array, size: int, fill_value: int) -> jax.Array:
     n = mask.shape[0]
     if n % _BLOCK or n <= _BLOCK:
         return jnp.nonzero(mask, size=size, fill_value=fill_value)[0]
-    m2 = mask.reshape(-1, _BLOCK)
-    mi = m2.astype(jnp.int32)
-    cnt = jnp.sum(mi, axis=1)  # [B]
-    offs = jnp.cumsum(cnt) - cnt  # [B] exclusive
-    within = jnp.cumsum(mi, axis=1) - mi  # [B, BLOCK] exclusive (lane scan)
-    pos = offs[:, None] + within  # [B, BLOCK]
-    # inactive lanes and overflow actives land in the sacrificial slot
-    pos = jnp.where(m2, jnp.minimum(pos, size), size).reshape(-1)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
-    out = jnp.full((size + 1,), fill_value, jnp.int32)
-    out = out.at[pos].set(idx, mode="drop", unique_indices=False)
-    return out[:size]
+    return fast_nonzero_rank(mask, size, fill_value)[0]

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..core.options import RenderOptions
 from ..io.n3tree import BasisFormat
-from ..ops.compaction import fast_nonzero
+from ..ops.compaction import fast_nonzero, fast_nonzero_rank
 from ..models.guidance_net import GuidanceNetCompact, GuidanceNetConfig
 from ..ops.filtering import guided_filter
 from ..ops.sh import eval_asg_basis, eval_sg_basis, eval_sh_basis
@@ -540,12 +540,11 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
     spp = dst.shape[1]
 
     consts, state = _init_march(tree, dirs, cens, dst, opt, tmax_bg)
-    leafs, cnts = _march_schedule(tree, opt, spp, consts, state,
-                                  tuple(schedule), max_steps)
+    recs = _march_schedule_recs(tree, opt, spp, consts, state,
+                                tuple(schedule), max_steps)
 
     # ---- color accumulation (rt_core.cuh:272-332) ----
-    return _shade(tree, vdirs, leafs, cnts, opt, spp,
-                  cap_div=shade_cap_div)
+    return _shade(tree, vdirs, recs, opt, spp, cap_div=shade_cap_div)
 
 
 def _init_march(tree: DeviceTree, dirs, cens, dst, opt, tmax_bg=None):
@@ -672,14 +671,21 @@ def _march_schedule_recs(tree, opt, spp, consts, state, schedule,
     n_active = jnp.sum(active.astype(jnp.int32))
 
     def compacted(_):
-        idx = fast_nonzero(active, cap, R)
+        idx, rank = fast_nonzero_rank(active, cap, R)
         valid = idx < R
         row = jnp.take(_pack_bundle(consts, state), idx, axis=0,
                        mode="fill", fill_value=0)
         c_consts, c_state = _unpack_bundle(row, spp)
         c_state = (c_state[0] & valid,) + c_state[1:]
         c_recs = run_here(c_consts, c_state)
-        return state[5].at[idx].set(c_recs, mode="drop")
+        # Merge the deep records back by GATHER, not scatter: parent row i
+        # (if active) continued as child row rank[i].  The previous
+        # .at[idx].set cascade issued ~675k set-scatter rows/frame across
+        # the stage boundaries and measured ~29 ms (tools/round3_exp12.py);
+        # set-scatter costs ~4x a gather per row, and the rank pass is
+        # already paid for inside fast_nonzero_rank.
+        merged = jnp.take(c_recs, jnp.minimum(rank, cap - 1), axis=0)
+        return jnp.where(active[:, None], merged, state[5])
 
     def full(_):
         st = _march_loop(tree, opt, spp, consts, state, max_steps,
@@ -717,23 +723,29 @@ def _leaf_rgb(tree: DeviceTree, leaf_idx, basis_rows):
     return vals[:, :3]
 
 
-def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
+def _shade(tree: DeviceTree, vdirs, recs, opt: RenderOptions,
            spp: int, cap_div: int = 4):
     """Per-distinct-leaf basis shading over the prefix-packed [R, SPP]
-    hit slots.
+    hit slots (``recs`` in the packed single-lane form of _recs_write).
 
     One compaction to HIT rays (slot 0 occupied == any hit; typically a
     small fraction of the frame), then every spp slot of those rays is
     shaded densely and the results set-scattered back -- no scatter-add
-    anywhere.  Frames with more hit rays than the R/4 cap fall back to
-    the dense [R*SPP]-row gather (slower, never wrong)."""
+    anywhere.  The hit rows ride ONE packed-recs gather (leaf ptr and
+    count share a lane) plus a vdirs gather, and the SH basis is
+    evaluated only at the compacted width (round-3 exp12: basis at full
+    width plus three separate row gathers cost ~2x the compacted form).
+    Frames with more hit rays than the R/4 cap fall back to the dense
+    [R*SPP]-row gather (slower, never wrong)."""
     R = vdirs.shape[0]
-    basis = _eval_masked_basis(tree, vdirs, opt) if tree.basis_dim >= 0 \
-        else jnp.zeros((R, 0), jnp.float32)
+    leafs, cnts = _recs_split(recs, spp)  # cheap elementwise decode
     w = jnp.where(cnts > 0, cnts, 0.0)
     alpha = jnp.sum(w, axis=1) / spp
 
     if spp == 1:
+        basis = (_eval_masked_basis(tree, vdirs, opt)
+                 if tree.basis_dim >= 0
+                 else jnp.zeros((R, 0), jnp.float32))
         rgb = _leaf_rgb(tree, leafs[:, 0], basis) * w[:, 0:1] / spp
         return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
 
@@ -757,12 +769,14 @@ def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
         hidx = fast_nonzero(hit_mask, caph, R)
         hc = jnp.minimum(hidx, R - 1)
         valid = (hidx < R).astype(jnp.float32)
-        leafs_h = jnp.take(leafs, hc, axis=0)
-        w_h = jnp.take(w, hc, axis=0) * valid[:, None]
+        recs_h = jnp.take(recs, hc, axis=0)
+        leafs_h, cnts_h = _recs_split(recs_h, spp)
+        w_h = jnp.where(cnts_h > 0, cnts_h, 0.0) * valid[:, None]
         vals = jnp.take(tree.data, leafs_h.reshape(-1), axis=0).reshape(
             caph, spp, tree.data_dim).astype(jnp.float32)
         if tree.basis_dim >= 0:
-            basis_h = jnp.take(basis, hc, axis=0)
+            vdirs_h = jnp.take(vdirs, hc, axis=0)
+            basis_h = _eval_masked_basis(tree, vdirs_h, opt)
             coeffs = vals[..., :3 * tree.basis_dim].reshape(
                 caph, spp, 3, tree.basis_dim)
             logits = jnp.einsum("hscb,hb->hsc", coeffs, basis_h,
@@ -776,6 +790,9 @@ def _shade(tree: DeviceTree, vdirs, leafs, cnts, opt: RenderOptions,
             rgb_h, mode="drop")
 
     def dense(_):
+        basis = (_eval_masked_basis(tree, vdirs, opt)
+                 if tree.basis_dim >= 0
+                 else jnp.zeros((R, 0), jnp.float32))
         vals = jnp.take(tree.data, leafs.reshape(-1), axis=0).reshape(
             R, spp, tree.data_dim).astype(jnp.float32)
         if tree.basis_dim >= 0:

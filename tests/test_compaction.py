@@ -4,7 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rt_octree_tpu.ops.compaction import fast_nonzero
+from rt_octree_tpu.ops.compaction import (exclusive_rank, fast_nonzero,
+                                          fast_nonzero_rank)
 
 
 @pytest.mark.parametrize("n,size,p", [(4096, 1024, 0.1), (4096, 512, 0.5),
@@ -29,3 +30,27 @@ def test_fast_nonzero_empty_and_full():
     mask = jnp.ones(2048, bool)
     out = fast_nonzero(mask, size=2048, fill_value=99)
     np.testing.assert_array_equal(np.asarray(out), np.arange(2048))
+
+
+@pytest.mark.parametrize("n,p", [(4096, 0.3), (512, 0.5), (100, 0.2),
+                                 (2048, 0.0), (2048, 1.0)])
+def test_exclusive_rank(np_rng, n, p):
+    mask = np.asarray(np_rng.random(n) < p)
+    ref = np.cumsum(mask) - mask
+    out = np.asarray(exclusive_rank(jnp.asarray(mask)))
+    # rank is only contractual where mask is True
+    np.testing.assert_array_equal(out[mask], ref[mask])
+
+
+@pytest.mark.parametrize("n,size,p", [(4096, 1024, 0.1), (4096, 4096, 0.6)])
+def test_fast_nonzero_rank_inverse(np_rng, n, size, p):
+    """idx[rank[i]] == i for every active i with rank[i] < size (the
+    gather-merge contract used at march compaction boundaries)."""
+    mask = np.asarray(np_rng.random(n) < p)
+    idx, rank = fast_nonzero_rank(jnp.asarray(mask), size, n)
+    idx, rank = np.asarray(idx), np.asarray(rank)
+    np.testing.assert_array_equal(
+        idx, np.asarray(fast_nonzero(jnp.asarray(mask), size, n)))
+    act = np.nonzero(mask)[0]
+    act = act[rank[act] < size]
+    np.testing.assert_array_equal(idx[rank[act]], act)

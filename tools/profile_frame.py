@@ -106,18 +106,19 @@ def main():
             return RR._march_body(dt, opt, spp, consts, st)
 
         st = jax.lax.fori_loop(0, 40, body, state)
-        return (vdirs,) + RR._recs_split(st[5], spp)
+        return vdirs, st[5]
 
-    vdirs, leafs, cnts = march_out(dt, transform, hi, lo)
-    jax.block_until_ready((vdirs, leafs, cnts))
-    ec = int(jnp.sum((np.asarray(cnts)[:, 1:] > 0).sum()))
+    vdirs, recs = march_out(dt, transform, hi, lo)
+    jax.block_until_ready((vdirs, recs))
+    cnts = np.asarray(RR._recs_split(recs, spp)[1])
+    ec = int((cnts[:, 1:] > 0).sum())
     print(f"  real extras: {ec} slots", flush=True)
 
     @jax.jit
-    def shade_now(dt, vdirs, leafs, cnts):
-        return RR._shade(dt, vdirs, leafs, cnts, opt, spp)
+    def shade_now(dt, vdirs, recs):
+        return RR._shade(dt, vdirs, recs, opt, spp)
 
-    timeit(shade_now, dt, vdirs, leafs, cnts,
+    timeit(shade_now, dt, vdirs, recs,
            label="_shade on real outputs (packed extras)")
 
     @jax.jit
@@ -126,7 +127,8 @@ def main():
         w = jnp.where(cnts > 0, cnts, 0.0)
         return RR._leaf_rgb(dt, leafs[:, 0], basis) * w[:, 0:1]
 
-    timeit(slot0_only, dt, vdirs, leafs, cnts, label="  slot0+basis only")
+    timeit(slot0_only, dt, vdirs, *RR._recs_split(recs, spp),
+           label="  slot0+basis only")
 
     # rays/rng/dst again for the record
     @jax.jit

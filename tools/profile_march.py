@@ -189,7 +189,7 @@ def main():
             return RR._march_body(dt, opt, spp, consts, st)
         st = jax.lax.fori_loop(0, 16, body, state)
         vdirs = pack[:, 3:6]
-        return RR._shade(dt, vdirs, *RR._recs_split(st[5], spp), opt, spp)
+        return RR._shade(dt, vdirs, st[5], opt, spp)
 
     t_ms = timeit(march_and_shade, dt, pack, label="16 thin rounds + shade")
     print(f"    -> shade approx: {(t_ms - (t2 + (t8-t2)/6*14))*1e3:.2f} ms",

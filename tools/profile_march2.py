@@ -109,11 +109,14 @@ def main():
     vdirs = jnp.asarray(rng.standard_normal((R, 3)), jnp.float32)
     vdirs = vdirs / jnp.linalg.norm(vdirs, axis=-1, keepdims=True)
 
-    @jax.jit
-    def shade_full(dt, vdirs, leafs, cnts):
-        return RR._shade(dt, vdirs, leafs, cnts, opt, spp)
+    recs = (leafs & RR.REC_PTR_MASK) | (cnts.astype(jnp.int32)
+                                        << RR.REC_CNT_SHIFT)
 
-    timeit(shade_full, dt, vdirs, leafs, cnts, label="_shade as-is (two-tier)")
+    @jax.jit
+    def shade_full(dt, vdirs, recs):
+        return RR._shade(dt, vdirs, recs, opt, spp)
+
+    timeit(shade_full, dt, vdirs, recs, label="_shade as-is (two-tier)")
 
     @jax.jit
     def shade_basis(dt, vdirs):
