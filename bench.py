@@ -179,7 +179,7 @@ def second_scene_fps(net_cfg, net_params):
                                      cam.fy, 800, 800,
                                      with_shade_div=True)
     print(f"[bench] solid-scene auto schedule: "
-          f"{[(s, round(d, 1), k, t) for s, d, k, t in sched]} "
+          f"{[(s, round(d, 1), k, t, round(dd, 1)) for s, d, k, t, dd in sched]} "
           f"shade_div={shade_div}", file=sys.stderr)
     r = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt,
                  schedule=sched, shade_cap_div=shade_div)

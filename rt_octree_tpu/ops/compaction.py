@@ -69,3 +69,32 @@ def fast_nonzero(mask: jax.Array, size: int, fill_value: int) -> jax.Array:
     if n % _BLOCK or n <= _BLOCK:
         return jnp.nonzero(mask, size=size, fill_value=fill_value)[0]
     return fast_nonzero_rank(mask, size, fill_value)[0]
+
+
+def partition_indices(first: jax.Array, second: jax.Array, cap_f: int,
+                      cap_s: int, fill_value: int):
+    """Packed ascending indices of TWO masks in ONE scatter pass.
+
+    Returns ``(idx_f [cap_f], idx_s [cap_s])`` -- each equivalent to
+    ``fast_nonzero`` over its mask (``second`` is taken as
+    ``second & ~first``, so overlapping entries land in the first list).
+    The scatter over the input rows is the cost floor of any packed-index
+    extraction on TPU, so fusing both lists into one scatter makes the
+    second list ~free -- the march's shade-on-death boundaries pack the
+    surviving rays AND the just-died hit rays from the same pass.
+    Entries beyond each cap are dropped (callers guard with count
+    checks)."""
+    n = first.shape[0]
+    sec = second & ~first
+    rank_f = exclusive_rank(first)
+    rank_s = exclusive_rank(sec)
+    # layout: [0, cap_f) first list | cap_f first-sacrificial |
+    #         [cap_f+1, cap_f+1+cap_s) second list | shared sacrificial
+    sacr = cap_f + 1 + cap_s
+    pos = jnp.where(
+        first, jnp.minimum(rank_f, cap_f),
+        jnp.where(sec, cap_f + 1 + jnp.minimum(rank_s, cap_s), sacr))
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).reshape(-1)
+    out = jnp.full((sacr + 1,), fill_value, jnp.int32)
+    out = out.at[pos].set(idx, mode="drop", unique_indices=False)
+    return out[:cap_f], out[cap_f + 1:cap_f + 1 + cap_s]

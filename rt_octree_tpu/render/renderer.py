@@ -27,7 +27,8 @@ import numpy as np
 
 from ..core.options import RenderOptions
 from ..io.n3tree import BasisFormat
-from ..ops.compaction import fast_nonzero, fast_nonzero_rank
+from ..ops.compaction import (fast_nonzero, fast_nonzero_rank,
+                              partition_indices)
 from ..models.guidance_net import GuidanceNetCompact, GuidanceNetConfig
 from ..ops.filtering import guided_filter
 from ..ops.sh import eval_asg_basis, eval_sg_basis, eval_sh_basis
@@ -488,31 +489,50 @@ def _march_loop(tree, opt, spp, consts, state, steps: int,
 # the drain (round-3 exp4: t4 drain 175.7 vs t12 180.0 ms march; the
 # staged-fori protocol had suggested t12 -- an artifact of fori vs the
 # real early-exit while loop).
+# The optional 5th stage element is the shade-on-death dead-ray cap
+# divisor: entering the stage, rays that died WITH recorded hits since
+# the previous boundary are packed into base_width//dead_div side-buffer
+# slots (see _march_death).  Oversizing costs only gather+copy rows;
+# undersizing falls back to dense at-width shading for that boundary
+# (correct, slower).  Values carry ~2-2.5x margin over the bench shell
+# scene's measured per-boundary dead-hit counts (tools/round3_exp14.py:
+# 0, 0, 269, 36.4k, 23.7k, 4.9k, 887 of 640k rays; hits die almost
+# entirely at the mid-brick boundaries).  The early boundaries measured
+# ZERO dead hits but keep modest caps -- their dense fallback would run
+# at near-full width, and 10k spare gather rows are ~0.1 ms insurance.
 DEFAULT_SCHEDULE = (
     (2, 1.0, "thin"),
-    (4, 2.4, "thin"),
-    (10, 3.5, "thin"),
-    (24, 5.8, "brick"),
-    (32, 10.5, "brick"),
-    (40, 22.0, "brick"),
-    (48, 40.0, "brick"),
-    (0, 64.0, "brick"),
+    (4, 2.4, "thin", 4, 64),
+    (10, 3.5, "thin", 4, 64),
+    (24, 5.8, "brick", 4, 512),
+    (32, 10.5, "brick", 4, 8),
+    (40, 22.0, "brick", 4, 12),
+    (48, 40.0, "brick", 4, 48),
+    (0, 64.0, "brick", 4, 128),
 )
 
 
 def _normalize_schedule(schedule):
     """Accept legacy (steps, divisor) pairs (stage 0 full-width thin,
-    later stages brick -- the round-1 convention) and 3-tuples without
-    t_in; canonical form is (steps, divisor, kind, t_in)."""
+    later stages brick -- the round-1 convention), 3-tuples without t_in
+    and 4-tuples without dead_div; canonical form is
+    (steps, divisor, kind, t_in, dead_div).  A missing dead_div defaults
+    to 2x the PREVIOUS stage's divisor (dead rays at a boundary are a
+    subset of the parent width; most early deaths are background rays
+    that never recorded a hit, so half the parent width is a safe cap
+    for the hit subset)."""
     out = []
+    prev_div = 1.0
     for i, st in enumerate(schedule):
         if len(st) == 2:
             steps, div = st
-            out.append((steps, div, "thin" if i == 0 else "brick", 4))
+            st = (steps, div, "thin" if i == 0 else "brick", 4)
         elif len(st) == 3:
-            out.append(tuple(st) + (4,))
-        else:
-            out.append(tuple(st))
+            st = tuple(st) + (4,)
+        if len(st) == 4:
+            st = tuple(st) + (max(2.0 * prev_div, 1.0),)
+        out.append(tuple(st))
+        prev_div = max(float(st[1]), 1.0)
     return tuple(out)
 
 
@@ -540,11 +560,31 @@ def trace_rays(tree: DeviceTree, dirs, vdirs, cens, dst, opt: RenderOptions,
     spp = dst.shape[1]
 
     consts, state = _init_march(tree, dirs, cens, dst, opt, tmax_bg)
-    recs = _march_schedule_recs(tree, opt, spp, consts, state,
-                                tuple(schedule), max_steps)
-
+    R0 = dirs.shape[0]
+    sched = _normalize_schedule(tuple(schedule))
+    cap_h = max(R0 // shade_cap_div, 1)
+    # side-buffer pad = the largest single append block (per-boundary
+    # dead caps + the final drain-width block), so the contiguous
+    # dynamic_update_slice in _death_boundary/_death_final never clamps
+    # while n_h <= cap_h holds
+    W, pads = R0, []
+    for (_steps, frac, _kind, _t_in, dd) in sched:
+        capk = max(int(R0 // frac), 1) if frac > 1 else W
+        if capk < W:
+            pads.append(min(max(int(R0 // dd), 1), cap_h, W))
+            W = capk
+    if W <= cap_h:
+        pads.append(W)
+    pad = max(pads) if pads else 0
+    rec_w = state[5].shape[1]
+    carry = (jnp.zeros((cap_h + pad, rec_w + 1), jnp.int32),
+             jnp.int32(0), jnp.zeros((R0, 4), jnp.float32))
+    sbuf, n_h, rgba = _march_death(tree, opt, spp, consts, state, sched,
+                                   max_steps,
+                                   jnp.arange(R0, dtype=jnp.int32),
+                                   vdirs, carry, cap_h)
     # ---- color accumulation (rt_core.cuh:272-332) ----
-    return _shade(tree, vdirs, recs, opt, spp, cap_div=shade_cap_div)
+    return _shade_sbuf(tree, vdirs, sbuf, n_h, rgba, opt, spp, cap_h)
 
 
 def _init_march(tree: DeviceTree, dirs, cens, dst, opt, tmax_bg=None):
@@ -638,7 +678,7 @@ def _march_schedule_recs(tree, opt, spp, consts, state, schedule,
     survivor count overflows its cap falls back to finishing the whole
     march at the current width -- slower, never wrong."""
     schedule = _normalize_schedule(schedule)
-    (steps, frac, kind, t_in), rest = schedule[0], schedule[1:]
+    (steps, frac, kind, t_in, _dd), rest = schedule[0], schedule[1:]
     R = state[0].shape[0]
     if base_width is None:
         base_width = R
@@ -693,6 +733,212 @@ def _march_schedule_recs(tree, opt, spp, consts, state, schedule,
         return st[5]
 
     return jax.lax.cond(n_active <= cap, compacted, full, None)
+
+
+# ---------------------------------------------------------------------------
+# shade-on-death: the production march/shade coupling
+# ---------------------------------------------------------------------------
+# Rematerializing the full-width records after the compacted march costs
+# ~25-30 ms/frame in ANY formulation (set-scatter cascade and rank-gather
+# merge measured equal: tools/round3_exp12.py 135.0 vs exp13 131-136 ms;
+# the stubbed lower bound is 106 ms) -- the cost is the ~1.3M moved rows,
+# not the op.  Shade-on-death never moves records back up: a ray's
+# records are FINAL the moment it dies, so each compaction boundary
+# extracts the just-died hit rays' (records, original index) rows into a
+# side buffer (one fused partition scatter + a gather + a contiguous
+# dynamic_update_slice), survivors march on, and ONE shade at the probed
+# hit cap scatters premultiplied rgba to the original ray indices.  Every
+# cap has a dense at-width fallback (exactness is never traded for
+# speed), mirroring rt_core.cuh:241-332 semantics exactly: identical
+# records, identical shading math, only the program point moves.
+
+
+def _shade_rows(tree: DeviceTree, vdirs_rows, recs_rows, valid_f, opt,
+                spp: int):
+    """Shade [M] record rows -> premultiplied rgba rows [M, 4]
+    (rt_core.cuh:272-332 math; already divided by spp).  ``valid_f``
+    [M] float 0/1 zeroes padding rows."""
+    M = recs_rows.shape[0]
+    leafs, cnts = _recs_split(recs_rows, spp)
+    w = jnp.where(cnts > 0, cnts, 0.0) * valid_f[:, None]
+    alpha = jnp.sum(w, axis=1) / spp
+    vals = jnp.take(tree.data, leafs.reshape(-1), axis=0).reshape(
+        M, spp, tree.data_dim).astype(jnp.float32)
+    if tree.basis_dim >= 0:
+        basis = _eval_masked_basis(tree, vdirs_rows, opt)
+        coeffs = vals[..., :3 * tree.basis_dim].reshape(
+            M, spp, 3, tree.basis_dim)
+        logits = jnp.einsum("mscb,mb->msc", coeffs, basis,
+                            precision=jax.lax.Precision.HIGHEST)
+        rgb_per_leaf = jax.nn.sigmoid(logits)
+    else:
+        rgb_per_leaf = vals[..., :3]
+    rgb = jnp.einsum("msc,ms->mc", rgb_per_leaf, w,
+                     precision=jax.lax.Precision.HIGHEST) / spp
+    return jnp.concatenate([rgb, alpha[:, None]], axis=1)
+
+
+def _death_dense(tree, opt, spp, recs, orig, mask, vdirs_full, rgba):
+    """Overflow fallback: shade ``mask`` rows at the CURRENT width and
+    set-scatter their rgba to the original ray indices (disjoint from
+    every other death site -- a ray dies exactly once)."""
+    R0 = rgba.shape[0]
+    vd = jnp.take(vdirs_full, jnp.minimum(orig, R0 - 1), axis=0)
+    rows = _shade_rows(tree, vd, recs, mask.astype(jnp.float32), opt, spp)
+    oidx = jnp.where(mask & (orig < R0), orig, R0)
+    return rgba.at[oidx].set(rows, mode="drop")
+
+
+def _death_boundary(tree, opt, spp, recs, orig, dead_hit, idx_s, n_dead,
+                    vdirs_full, carry, cap_h: int):
+    """Route the just-died hit rays: append their (records, orig) rows to
+    the side buffer when they fit, else shade densely at-width."""
+    sbuf, n_h, rgba = carry
+    cap_dead = idx_s.shape[0]
+    W = recs.shape[0]
+    R0 = rgba.shape[0]
+
+    def append(carry):
+        sbuf, n_h, rgba = carry
+        idc = jnp.minimum(idx_s, W - 1)
+        valid = idx_s < W
+        drecs = jnp.take(recs, idc, axis=0)
+        dorig = jnp.where(valid, jnp.take(orig, idc), R0)
+        block = jnp.concatenate([drecs, dorig[:, None]], axis=1)
+        # contiguous copy, not a scatter; the pad rows past cap_h absorb
+        # the block tail so the slice never clamps (n_h + n_dead <= cap_h
+        # is in the predicate, physical rows = cap_h + max block height)
+        sbuf = jax.lax.dynamic_update_slice(sbuf, block, (n_h, 0))
+        return (sbuf, n_h + n_dead, rgba)
+
+    def dense(carry):
+        sbuf, n_h, rgba = carry
+        return (sbuf, n_h,
+                _death_dense(tree, opt, spp, recs, orig, dead_hit,
+                             vdirs_full, rgba))
+
+    fits = (n_dead <= cap_dead) & (n_h + n_dead <= cap_h)
+    return jax.lax.cond(fits, append, dense, carry)
+
+
+def _death_final(tree, opt, spp, state, orig, vdirs_full, carry,
+                 cap_h: int):
+    """After the drain: every remaining row with recorded hits is shaded.
+    The fast path appends the whole raw block (no compaction needed at
+    drain width -- non-hit rows ride along with orig pinned to the drop
+    sentinel and zero weights)."""
+    sbuf, n_h, rgba = carry
+    recs = state[5]
+    W = recs.shape[0]
+    R0 = rgba.shape[0]
+    _, cnts = _recs_split(recs, spp)
+    hit = cnts[:, 0] > 0
+
+    def dense(carry):
+        sbuf, n_h, rgba = carry
+        return (sbuf, n_h, _death_dense(tree, opt, spp, recs, orig, hit,
+                                        vdirs_full, rgba))
+
+    if W > sbuf.shape[0] - cap_h:  # block exceeds the pad: dense only
+        return dense(carry)
+
+    def append(carry):
+        sbuf, n_h, rgba = carry
+        dorig = jnp.where(hit & (orig < R0), orig, R0)
+        block = jnp.concatenate([recs, dorig[:, None]], axis=1)
+        sbuf = jax.lax.dynamic_update_slice(sbuf, block, (n_h, 0))
+        return (sbuf, n_h + W, rgba)
+
+    return jax.lax.cond(n_h + W <= cap_h, append, dense, carry)
+
+
+def _march_death(tree, opt, spp, consts, state, schedule, max_steps,
+                 orig, vdirs_full, carry, cap_h: int, base_width=None):
+    """The compaction-schedule march with shade-on-death.
+
+    Structure matches _march_schedule_recs, but each boundary first
+    routes the just-died hit rays into the side buffer / dense rgba (one
+    fused partition scatter packs survivors AND dead rays), and nothing
+    is merged back up the recursion -- the carry threads through.
+    Returns carry = (sbuf, n_h, rgba)."""
+    schedule = _normalize_schedule(schedule)
+    (steps, frac, kind, t_in, dead_div), rest = schedule[0], schedule[1:]
+    R = state[0].shape[0]
+    if base_width is None:
+        base_width = R
+    brick = kind == "brick"
+    last = not rest
+    if last:
+        steps = max_steps
+    cap = max(int(base_width // frac), 1) if frac > 1 else R
+
+    def run_here(consts, state, orig, carry):
+        st = _march_loop(tree, opt, spp, consts, state, steps,
+                         unroll=4 if last else _STAGE_UNROLL,
+                         brick=brick, t_in=t_in,
+                         early_exit=last or not _MID_FORI)
+        if last:
+            return _death_final(tree, opt, spp, st, orig, vdirs_full,
+                                carry, cap_h)
+        return _march_death(tree, opt, spp, consts, st, rest, max_steps,
+                            orig, vdirs_full, carry, cap_h, base_width)
+
+    if cap >= R:
+        return run_here(consts, state, orig, carry)
+
+    active = state[0]
+    recs = state[5]
+    R0 = carry[2].shape[0]
+    cap_dead = min(max(int(base_width // dead_div), 1), cap_h, R)
+    _, cnts = _recs_split(recs, spp)
+    dead_hit = (~active) & (cnts[:, 0] > 0)
+    n_dead = jnp.sum(dead_hit.astype(jnp.int32))
+    idx, idx_s = partition_indices(active, dead_hit, cap, cap_dead, R)
+    carry = _death_boundary(tree, opt, spp, recs, orig, dead_hit, idx_s,
+                            n_dead, vdirs_full, carry, cap_h)
+    n_active = jnp.sum(active.astype(jnp.int32))
+
+    def compacted(carry):
+        valid = idx < R
+        row = jnp.take(_pack_bundle(consts, state), idx, axis=0,
+                       mode="fill", fill_value=0)
+        c_consts, c_state = _unpack_bundle(row, spp)
+        c_state = (c_state[0] & valid,) + c_state[1:]
+        c_orig = jnp.where(valid,
+                           jnp.take(orig, jnp.minimum(idx, R - 1)), R0)
+        return run_here(c_consts, c_state, c_orig, carry)
+
+    def full(carry):
+        st = _march_loop(tree, opt, spp, consts, state, max_steps,
+                         unroll=2, brick=brick, t_in=t_in)
+        # dead-at-entry rows were routed above; shade everything that
+        # was still marching at entry and ended with hits
+        _, c2 = _recs_split(st[5], spp)
+        mask = active & (c2[:, 0] > 0)
+        sbuf, n_h, rgba = carry
+        return (sbuf, n_h, _death_dense(tree, opt, spp, st[5], orig, mask,
+                                        vdirs_full, rgba))
+
+    return jax.lax.cond(n_active <= cap, compacted, full, carry)
+
+
+def _shade_sbuf(tree, vdirs_full, sbuf, n_h, rgba, opt, spp: int,
+                cap_h: int):
+    """The single global shade over the side buffer's live rows, scattered
+    to the original ray indices.  Stale rows past n_h (block tails from
+    oversized per-boundary caps) are neutralized by the live mask AND a
+    drop-sentinel orig, so a stale duplicate index can never overwrite a
+    real ray's value."""
+    R0 = rgba.shape[0]
+    body = sbuf[:cap_h]
+    recs_h, orig_h = body[:, :-1], body[:, -1]
+    live = (jnp.arange(cap_h, dtype=jnp.int32) < n_h) & (orig_h < R0) & \
+        (orig_h >= 0)
+    vd = jnp.take(vdirs_full, jnp.clip(orig_h, 0, R0 - 1), axis=0)
+    rows = _shade_rows(tree, vd, recs_h, live.astype(jnp.float32), opt,
+                       spp)
+    oidx = jnp.where(live, orig_h, R0)
+    return rgba.at[oidx].set(rows, mode="drop")
 
 
 def _eval_masked_basis(tree: DeviceTree, vdirs, opt):

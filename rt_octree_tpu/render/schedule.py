@@ -70,18 +70,22 @@ def _probe_counts(tree: DeviceTree, transform, state_hi, state_lo, *,
         state_hi, state_lo, n=R * spp, inc=inc).reshape(R, spp)
     dst = make_sorted_dst(uniforms)
     consts, state = _init_march(tree, wdirs, wcens, dst, opt)
-    counts = []
+    counts, deadcum = [], []
     prev = 0
     for cp in checkpoints:
         state = _march_loop(tree, opt, spp, consts, state, cp - prev)
         prev = cp
         counts.append(jnp.sum(state[0].astype(jnp.int32)))
+        # cumulative rays dead WITH recorded hits (shade-on-death
+        # boundary cap sizing: the boundary at checkpoint j extracts
+        # deadcum[j] - deadcum[i] rays)
+        deadcum.append(jnp.sum(
+            ((~state[0]) & (state[3] > 0)).astype(jnp.int32)))
     # upper bound on HIT rays (shade-cap sizing): rays that recorded a
     # crossing so far, plus every still-alive ray (it may yet record)
     hits_ub = jnp.sum((state[3] > 0).astype(jnp.int32)) + \
         jnp.sum((state[0] & (state[3] == 0)).astype(jnp.int32))
-    counts.append(hits_ub)
-    return jnp.stack(counts)
+    return jnp.stack(counts + deadcum + [hits_ub])
 
 
 def probe_survivors(tree: DeviceTree, poses: Sequence[np.ndarray],
@@ -100,7 +104,7 @@ def probe_survivors(tree: DeviceTree, poses: Sequence[np.ndarray],
     sy = probe_res / float(height)
     opt = FrozenOptions.from_options(options)
     R = probe_res * probe_res
-    best = np.zeros(len(checkpoints) + 1, np.int64)
+    best = np.zeros(2 * len(checkpoints) + 1, np.int64)
     for pose in poses:
         c = _probe_counts(
             tree, jnp.asarray(np.asarray(pose, np.float32)[:3]),
@@ -108,16 +112,22 @@ def probe_survivors(tree: DeviceTree, poses: Sequence[np.ndarray],
             width=probe_res, height=probe_res, fx=fx * sx, fy=fy * sy,
             opt=opt, inc=rng.inc, checkpoints=tuple(checkpoints))
         best = np.maximum(best, np.asarray(c, np.int64))
-    # [survivor fractions at checkpoints..., hit-ray upper-bound frac]
+    # [survivor fracs at checkpoints..., cumulative dead-with-hits
+    #  fracs at checkpoints..., hit-ray upper-bound frac]
     return best / float(R)
 
 
 def derive_schedule(fracs: np.ndarray, margin: float = 1.4,
                     max_divisor: float = 256.0,
-                    checkpoints: tuple = CHECKPOINTS) -> tuple:
+                    checkpoints: tuple = CHECKPOINTS,
+                    dead_margin: float = 2.5) -> tuple:
     """Survivor fractions at ``checkpoints`` -> (steps, divisor, kind,
-    t_in) stages, with compaction boundaries placed by a small DP over
-    the measured TPU cost model.
+    t_in, dead_div) stages, with compaction boundaries placed by a small
+    DP over the measured TPU cost model.  ``dead_div`` caps the
+    shade-on-death extraction at each boundary from the probed
+    cumulative dead-with-hits curve with ``dead_margin`` headroom (an
+    undersized cap falls back to dense at-width shading -- correct,
+    slower; oversized costs only spare gather rows).
 
     March rounds and compactions both cost ~17 ns per row (PERF.md), so
     in units of R x 17ns: marching from checkpoint i to j at width w_i
@@ -128,9 +138,14 @@ def derive_schedule(fracs: np.ndarray, margin: float = 1.4,
     Widths carry ``margin`` so every cap holds the measured survivors;
     a cap overflow at render time falls back at-width (never wrong).
     """
-    fracs = np.asarray(fracs, np.float64)[:len(checkpoints)]
+    fracs = np.asarray(fracs, np.float64)
     cps = np.asarray(checkpoints, np.float64)
     n = len(cps)
+    if fracs.shape[0] >= 2 * n:  # probe with the dead-with-hits curve
+        deadcum = np.concatenate([[0.0], fracs[n:2 * n]])  # node-indexed
+    else:  # legacy probe layout: conservative flat default
+        deadcum = None
+    fracs = fracs[:n]
     # node 0 = frame start (width 1); nodes 1..n = checkpoints, where
     # node i's width (fraction of R) is the margined survivor count
     nodes = np.concatenate([[0.0], cps])
@@ -170,12 +185,27 @@ def derive_schedule(fracs: np.ndarray, margin: float = 1.4,
         j = int(prev[j])
     chain.reverse()
 
+    def dead_div_at(j_entry, j_before):
+        """Dead-ray cap divisor for the boundary at chain node j_entry
+        (extracts deaths accumulated since node j_before)."""
+        if deadcum is None:
+            return None  # _normalize_schedule's 2x-prev-div default
+        delta = max(deadcum[j_entry] - deadcum[j_before], 0.0)
+        # floor keeps a modest always-on cap: a zero-measured boundary
+        # still gets cheap insurance rows instead of risking the dense
+        # at-width fallback on an unprobed pose
+        frac = max(delta * dead_margin, 1.0 / 1024.0)
+        return float(np.clip(1.0 / frac, 1.0, 1024.0))
+
     stages = []
     prev_cp, prev_div = 0.0, 1.0
+    j_before = 0  # chain node before the segment's entry boundary
+    j_entry = 0
     for j in chain:
         cp = nodes[j]
         seg = cp - prev_cp
         if seg > 0:
+            dd = dead_div_at(j_entry, j_before)
             if prev_cp >= BRICK_FROM:
                 # brick rounds mapped at 1.5 thin steps/round -- a
                 # measured UNDERestimate of delivery (~2.2), so rounds
@@ -184,13 +214,16 @@ def derive_schedule(fracs: np.ndarray, margin: float = 1.4,
                 # re-derived conservative caps measured WORSE on both
                 # bench scenes: tools/round3_exp6.py)
                 rounds = max(int(np.ceil(seg / 1.5)), 1)
-                stages.append((rounds * T_IN_MID, prev_div, "brick",
-                               T_IN_MID))
+                st = (rounds * T_IN_MID, prev_div, "brick", T_IN_MID)
             else:
-                stages.append((int(seg), prev_div, "thin", T_IN_MID))
+                st = (int(seg), prev_div, "thin", T_IN_MID)
+            stages.append(st if dd is None else st + (dd,))
         prev_cp = cp
         prev_div = min(float(1.0 / wid[j]), max_divisor)
-    stages.append((0, prev_div, "brick", T_IN_DRAIN))
+        j_before, j_entry = j_entry, j
+    dd = dead_div_at(j_entry, j_before)
+    drain = (0, prev_div, "brick", T_IN_DRAIN)
+    stages.append(drain if dd is None else drain + (dd,))
     return tuple(stages)
 
 

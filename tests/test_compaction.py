@@ -54,3 +54,24 @@ def test_fast_nonzero_rank_inverse(np_rng, n, size, p):
     act = np.nonzero(mask)[0]
     act = act[rank[act] < size]
     np.testing.assert_array_equal(idx[rank[act]], act)
+
+
+@pytest.mark.parametrize("n,cap_f,cap_s,pf,ps", [
+    (4096, 1024, 512, 0.15, 0.08),   # both fit
+    (4096, 128, 128, 0.3, 0.2),      # both overflow (entries dropped)
+    (2048, 512, 64, 0.0, 0.0),       # empty masks
+    (512, 512, 512, 0.5, 0.5),       # overlap: first wins
+])
+def test_partition_indices(np_rng, n, cap_f, cap_s, pf, ps):
+    """Both packed lists match fast_nonzero over their (disjointed)
+    masks -- the one-scatter fusion used at shade-on-death boundaries."""
+    from rt_octree_tpu.ops.compaction import partition_indices
+    first = np.asarray(np_rng.random(n) < pf)
+    second = np.asarray(np_rng.random(n) < ps)
+    idx_f, idx_s = partition_indices(
+        jnp.asarray(first), jnp.asarray(second), cap_f, cap_s, n)
+    ref_f = np.asarray(fast_nonzero(jnp.asarray(first), cap_f, n))
+    ref_s = np.asarray(
+        fast_nonzero(jnp.asarray(second & ~first), cap_s, n))
+    np.testing.assert_array_equal(np.asarray(idx_f), ref_f)
+    np.testing.assert_array_equal(np.asarray(idx_s), ref_s)

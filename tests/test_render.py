@@ -343,3 +343,35 @@ def test_mesh_depth_clip_matches_oracle(tree):
         full[i] = trace_ray(tree, dirs[i], dirs[i], cen, opt, 1e9, r,
                             opt.spp)
     assert np.abs(full - outs).max() > 1e-3
+
+
+def test_dead_cap_overflow_falls_back_dense(tree):
+    """Shade-on-death: a dead-ray cap of 1 at every boundary forces the
+    dense at-width fallback in _death_boundary; the image must still
+    match the oracle exactly."""
+    cam = make_camera(16, 16)
+    opt = RenderOptions(spp=2, denoise=False)
+    dt = upload_tree(tree, lut_levels=3)
+    sched = ((2, 1.0, "thin", 4, 1 << 30),
+             (0, 4.0, "brick", 4, 1 << 30))
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt,
+                 n_chunks=1, schedule=sched)
+    img, aux = r.render(cam.transform)
+    rng = Pcg32(20230418)
+    img_ref, aux_ref = render_frame_oracle(tree, cam, opt, rng)
+    np.testing.assert_allclose(np.asarray(img), img_ref, atol=2e-5)
+
+
+def test_sbuf_overflow_falls_back_dense(tree):
+    """Shade-on-death: a 1-slot side buffer (shade_cap_div >= R) forces
+    every boundary AND the final drain onto the dense fallback; the
+    image must still match the oracle exactly."""
+    cam = make_camera(16, 16)
+    opt = RenderOptions(spp=2, denoise=False)
+    dt = upload_tree(tree, lut_levels=3)
+    r = Renderer(dt, cam.width, cam.height, cam.fx, cam.fy, options=opt,
+                 n_chunks=1, shade_cap_div=10_000)
+    img, aux = r.render(cam.transform)
+    rng = Pcg32(20230418)
+    img_ref, aux_ref = render_frame_oracle(tree, cam, opt, rng)
+    np.testing.assert_allclose(np.asarray(img), img_ref, atol=2e-5)

@@ -25,21 +25,26 @@ def test_probe_and_derive(scene):
     opt = RenderOptions(spp=2, denoise=False)
     fracs = probe_survivors(dt, [cam.transform[:3]], opt, 80.0, 80.0,
                             64, 64, probe_res=32)
-    # checkpoints + the trailing hit-ray upper-bound fraction
-    assert fracs.shape == (len(CHECKPOINTS) + 1,)
+    n = len(CHECKPOINTS)
+    # checkpoint survivors + cumulative dead-with-hits + hit upper bound
+    assert fracs.shape == (2 * n + 1,)
     # survivor fraction is monotone nonincreasing and sane
-    assert np.all(np.diff(fracs[:-1]) <= 1e-9)
+    assert np.all(np.diff(fracs[:n]) <= 1e-9)
+    # cumulative dead-with-hits is monotone nondecreasing
+    assert np.all(np.diff(fracs[n:2 * n]) >= -1e-9)
     assert fracs[0] <= 1.0 and fracs[-1] <= 1.0
 
     sched = derive_schedule(fracs)
     assert sched[0][1] == 1.0
+    # probed schedules carry explicit shade-on-death dead_div caps
+    assert all(len(s) == 5 for s in sched)
     divs = [s[1] for s in sched]
     assert all(b >= a for a, b in zip(divs, divs[1:]))  # monotone
     # the DP's boundary caps hold the measured survivors with margin:
     # walk cumulative thin-equivalent steps and compare with the probed
     # curve (brick stages deliver >= steps/1.5... mapped conservatively)
     cum = 0.0
-    for (steps, div, kind, t_in), (nsteps, ndiv, *_r) in zip(
+    for (steps, div, kind, t_in, _dd), (nsteps, ndiv, *_r) in zip(
             sched, sched[1:]):
         cum += steps if kind == "thin" else steps / 4 * 1.5
         # survivor frac at the nearest probed checkpoint <= cum
@@ -136,4 +141,4 @@ def test_auto_schedule_with_shade_div(scene):
     sched, div = auto_schedule(dt, cam.transform, opt, 60.0, 60.0, 48, 48,
                                probe_res=24, with_shade_div=True)
     assert 1 <= div <= 16
-    assert sched[-1] == (0, sched[-1][1], "brick", 4)
+    assert sched[-1][:4] == (0, sched[-1][1], "brick", 4)

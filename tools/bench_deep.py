@@ -102,7 +102,7 @@ def main():
                                      cam.fy, 800, 800,
                                      with_shade_div=True)
     print(f"auto schedule ({time.time()-t0:.0f}s): "
-          f"{[(s, round(d, 1), k, t) for s, d, k, t in sched]} "
+          f"{[(s, round(d, 1), k, t, round(dd, 1)) for s, d, k, t, dd in sched]} "
           f"shade_div={shade_div}", flush=True)
     r = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt,
                  schedule=sched, shade_cap_div=shade_div)
