@@ -18,7 +18,10 @@ surface.  This module serves a single-page viewer that
     display size -- main.cpp:401-437), and mesh manipulation: OBJ /
     drawlist-npz load by server path, per-mesh visibility, clear
     (main.cpp:439-465),
-  * mirrors the web viewer's load-from-path API (main_web.cpp load_local).
+  * mirrors the web viewer's load API (main_web.cpp:276-295): load by
+    server path (load_local) or by http(s) URL (load_remote) with
+    extension auto-dispatch (tree / .obj / .draw.npz) and async fetch
+    progress surfaced through /state (report_progress protocol).
 
 Run: python -m rt_octree_tpu.apps.cli view <tree.npz> [--port 8797]
 """
@@ -89,9 +92,9 @@ input[type=number] { width:4.5em; }
   <label>size <input id="prsz" type="number" value="100"></label>
   </fieldset>
   <fieldset><legend>Tree</legend>
-  <input id="treepath" placeholder="server path: octree .npz">
-  <button onclick="post({type:'load_tree',
-    path:document.getElementById('treepath').value})">load tree</button>
+  <input id="treepath" placeholder="path or http(s) URL: octree .npz">
+  <button onclick="loadTree()">load tree</button>
+  <div id="loadprog"></div>
   </fieldset>
   <fieldset><legend>Meshes</legend>
   <input id="meshpath" placeholder="server path: .obj / drawlist .npz">
@@ -160,7 +163,23 @@ for (const id of ['spp','denoise','grid','estimator','bg','bb0','bb1',
 function loadMesh() {
   post({type: 'load_mesh',
         path: document.getElementById('meshpath').value})
-    .then(listMeshes);
+    .then(pollLoad).then(listMeshes);
+}
+function loadTree() {
+  post({type: 'load_tree',
+        path: document.getElementById('treepath').value}).then(pollLoad);
+}
+function pollLoad() {
+  // mirror the reference's report_progress: 0..100 fetching, 101 done
+  return fetch('/state').then(r => r.json()).then(st => {
+    const d = document.getElementById('loadprog');
+    if (st.load_progress < 0) { d.textContent = st.load_error; return; }
+    if (st.load_progress <= 100) {
+      d.textContent = 'loading ' + st.load_progress.toFixed(0) + '%';
+      return new Promise(res => setTimeout(res, 300)).then(pollLoad);
+    }
+    d.textContent = ''; refresh();
+  });
 }
 function listMeshes() {
   fetch('/state').then(r => r.json()).then(st => {
@@ -203,6 +222,11 @@ class ViewerState:
         self.lock = threading.Lock()
         self.frame_count = 0
         self.meshes: list = []
+        # remote-load state (main_web.cpp report_progress protocol:
+        # 0..100 while fetching, 101 = finished/idle, -1 = failed)
+        self.load_progress = 101.0
+        self.load_error = ""
+        self._load_thread: Optional[threading.Thread] = None
         self._set_tree(tree_path)
 
     def _set_tree(self, tree_path: str) -> None:
@@ -281,6 +305,76 @@ class ViewerState:
         self.renderer.options = o
         self._options = o
 
+    # ---- remote loading (main_web.cpp:139-171,276-284) ----------------
+    # The reference's web viewer fetches trees/OBJs/drawlists over HTTP
+    # (emscripten_fetch) with progress callbacks, then hands the bytes to
+    # the loader; load_remote dispatches on the URL's extension.  Here
+    # the server performs the fetch asynchronously (the browser polls
+    # /state.load_progress, mirroring report_progress).
+
+    def _dispatch_load(self, path: str, kind: Optional[str]) -> None:
+        """Extension dispatch of load_remote/load_local
+        (main_web.cpp:276-295): .obj -> mesh, .draw.npz -> drawlist,
+        anything else -> octree.  ``kind`` pins the target for the
+        load_tree / load_mesh panel events."""
+        if kind == "mesh" or (kind is None and (
+                path.endswith(".obj") or path.endswith(".draw.npz"))):
+            self._load_mesh(path)
+        else:
+            self._set_tree(path)
+
+    def load_any(self, path_or_url: str, kind: Optional[str] = None
+                 ) -> None:
+        """Load a tree/mesh from a local path or an http(s) URL; remote
+        fetches run in a background thread (caller must hold the lock)."""
+        if path_or_url.startswith(("http://", "https://")):
+            if self._load_thread is not None and \
+                    self._load_thread.is_alive():
+                raise ValueError("a remote load is already in progress")
+            self.load_progress = 0.0
+            self.load_error = ""
+            self._load_thread = threading.Thread(
+                target=self._fetch_remote, args=(path_or_url, kind),
+                daemon=True)
+            self._load_thread.start()
+            return
+        if not os.path.exists(path_or_url):
+            raise ValueError(f"no such file: {path_or_url}")
+        self._dispatch_load(path_or_url, kind)
+
+    def _fetch_remote(self, url: str, kind: Optional[str]) -> None:
+        import tempfile
+        import urllib.request
+        tmp = None
+        try:
+            name = os.path.basename(url.split("?")[0]) or "remote.npz"
+            with urllib.request.urlopen(url, timeout=600) as resp:
+                total = int(resp.headers.get("Content-Length") or 0)
+                fd, tmp = tempfile.mkstemp(suffix="_" + name)
+                got = 0
+                with os.fdopen(fd, "wb") as f:
+                    while True:
+                        chunk = resp.read(1 << 16)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+                        got += len(chunk)
+                        if total:
+                            self.load_progress = min(
+                                100.0 * got / total, 100.0)
+            with self.lock:
+                self._dispatch_load(tmp, kind)
+            self.load_progress = 101.0  # report_progress(101) = done
+        except Exception as e:  # surfaced via /state, like the JS alert
+            self.load_error = f"{url}: {e}"
+            self.load_progress = -1.0
+        finally:
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+
     def handle_event(self, ev: dict) -> None:
         cam = self.cam
         t = ev.get("type")
@@ -302,12 +396,12 @@ class ViewerState:
             elif t == "options":
                 self._apply_options(ev)
             elif t == "load_tree":
-                path = str(ev.get("path", ""))
-                if not os.path.exists(path):
-                    raise ValueError(f"no such tree file: {path}")
-                self._set_tree(path)
+                self.load_any(str(ev.get("path", "")), kind="tree")
             elif t == "load_mesh":
-                self._load_mesh(str(ev.get("path", "")))
+                self.load_any(str(ev.get("path", "")), kind="mesh")
+            elif t == "load_remote":
+                # extension auto-dispatch (main_web.cpp:276-284)
+                self.load_any(str(ev.get("url", ev.get("path", ""))))
             elif t == "mesh_vis":
                 i = int(ev.get("index", -1))
                 if not (0 <= i < len(self.meshes)):
@@ -394,6 +488,8 @@ def make_handler(state: ViewerState):
                     "options": state.renderer.options.to_json_dict(),
                     "meshes": [{"name": m.name, "visible": bool(m.visible)}
                                for m in state.meshes],
+                    "load_progress": state.load_progress,
+                    "load_error": state.load_error,
                 }).encode()
                 self._send(200, body, "application/json")
             else:

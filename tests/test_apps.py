@@ -546,6 +546,103 @@ def test_web_viewer_end_to_end(tmp_path):
         httpd.server_close()
 
 
+def test_web_viewer_remote_load(tmp_path):
+    """load_remote over HTTP with fetch progress (main_web.cpp:139-171,
+    276-295 + the report_progress protocol): trees and meshes load from
+    URLs with extension auto-dispatch; failures surface via /state."""
+    import functools
+    import json
+    import threading
+    import time
+    import urllib.request
+    from http.server import (SimpleHTTPRequestHandler,
+                             ThreadingHTTPServer)
+
+    from rt_octree_tpu.apps.viewer import ViewerState, make_handler
+    from rt_octree_tpu.io import synthetic
+
+    # a static file server standing in for the remote host
+    files = tmp_path / "remote"
+    files.mkdir()
+    synthetic.save_npz(
+        synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4),
+        str(files / "tree.npz"))
+    synthetic.save_npz(
+        synthetic.make_synthetic_tree("blobs", depth=3, basis_dim=1),
+        str(files / "tree2.npz"))
+    (files / "tri.obj").write_text(
+        "v -6 -6 2.5 1 0 0\nv 6 -6 2.5 1 0 0\nv 0 6 2.5 1 0 0\nf 1 2 3\n")
+    fsrv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), functools.partial(
+            SimpleHTTPRequestHandler, directory=str(files)))
+    furl = f"http://127.0.0.1:{fsrv.server_address[1]}"
+    threading.Thread(target=fsrv.serve_forever, daemon=True).start()
+
+    state = ViewerState(str(files / "tree.npz"), width=24, height=24,
+                        lut_levels=0, spp=1)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def post(ev):
+            req = urllib.request.Request(
+                f"{base}/event", data=json.dumps(ev).encode(),
+                method="POST")
+            urllib.request.urlopen(req, timeout=600).read()
+
+        def get_state():
+            return json.loads(urllib.request.urlopen(
+                f"{base}/state", timeout=120).read())
+
+        def wait_load(timeout=600.0):
+            t0 = time.time()
+            while time.time() - t0 < timeout:
+                st = get_state()
+                if st["load_progress"] > 100 or st["load_progress"] < 0:
+                    return st
+                time.sleep(0.1)
+            raise AssertionError("remote load timed out")
+
+        def frame():
+            return urllib.request.urlopen(f"{base}/frame.png",
+                                          timeout=600).read()
+
+        png0 = frame()
+
+        # auto-dispatch: .obj URL -> mesh
+        post({"type": "load_remote", "url": f"{furl}/tri.obj"})
+        st = wait_load()
+        assert st["load_progress"] == 101.0 and st["load_error"] == ""
+        st = get_state()
+        assert len(st["meshes"]) == 1 and st["meshes"][0]["name"]
+        png_mesh = frame()
+        assert png_mesh != png0
+        post({"type": "clear_meshes"})
+
+        # auto-dispatch: other URL -> octree (swaps the scene)
+        post({"type": "load_remote", "url": f"{furl}/tree2.npz"})
+        st = wait_load()
+        assert st["load_progress"] == 101.0 and st["load_error"] == ""
+        png_tree2 = frame()
+        assert png_tree2 != png0
+
+        # the load_tree panel event accepts URLs too
+        post({"type": "load_tree", "path": f"{furl}/tree.npz"})
+        assert wait_load()["load_progress"] == 101.0
+
+        # a failed fetch surfaces the error without breaking the viewer
+        post({"type": "load_remote", "url": f"{furl}/missing.npz"})
+        st = wait_load()
+        assert st["load_progress"] == -1.0
+        assert "missing.npz" in st["load_error"]
+        assert frame()[:4] == b"\x89PNG"
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        fsrv.shutdown()
+        fsrv.server_close()
+
+
 def test_cli_render_tt_dataset_e2e(tmp_path):
     """Headless CLI over a TanksAndTemples-style pose dir (intrinsics.txt
     + pose/*.txt, OpenCV convention -- main_headless.cpp:273-297)."""
