@@ -189,7 +189,7 @@ def second_scene_fps(net_cfg, net_params):
     checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
 
     def frame():
-        img, _ = r.render(cam.transform)
+        img, _ = r.render(cam.transform, want_aux=False)
         r.advance_rng()
         return img
 
@@ -278,7 +278,7 @@ def main():
     checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
 
     def frame():
-        img, aux = r.render(cam.transform)
+        img, _ = r.render(cam.transform, want_aux=False)
         r.advance_rng()
         return img
 

@@ -451,8 +451,8 @@ class ViewerState:
                 color, depth = rasterize_meshes(visible, self.cam,
                                                 background=bg)
                 kw = dict(mesh_color=color, mesh_depth=depth)
-            img, _ = self.renderer.render_with_probe(self.cam.transform,
-                                                     **kw)
+            img, _ = self.renderer.render_with_probe(
+                self.cam.transform, want_aux=False, **kw)
             self.renderer.advance_rng()
             arr = to_uint8(np.asarray(img))
             self.frame_count += 1

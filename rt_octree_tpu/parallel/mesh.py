@@ -151,15 +151,19 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
         tmax_bg = jnp.full((R,), 1e9, jnp.float32)
 
         out = sharded_trace(tree_arrays, wdirs, vdirs, wcens, dst, tmax_bg)
-        from ..render.renderer import _denoise, composite_and_aux
-        img, aux = composite_and_aux(out, width, height,
-                                     opt.background_brightness)
+        from ..render.renderer import (_denoise, aux_from_composite,
+                                       composite)
+        img, outc = composite(out, width, height,
+                              opt.background_brightness)
         if denoise:
-            # keep the conv/filter input H-sharded (rows == rays)
+            # NHWC aux built straight from the composited rows (no CHW
+            # round-trip), kept H-sharded (rows == rays) for the
+            # conv/filter stack
             aux_nhwc = jax.lax.with_sharding_constraint(
-                jnp.moveaxis(aux, 0, -1),
+                aux_from_composite(outc, width, height, "nhwc"),
                 NamedSharding(mesh, P(ray_axes, None, None)))
             img = _denoise(aux_nhwc, img, params, net_cfg)
+        aux = aux_from_composite(outc, width, height)
         return img, aux
 
     tree = jax.device_put(tree, repl)

@@ -1145,13 +1145,18 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
                   width: int, height: int, fx: float, fy: float,
                   opt: FrozenOptions, n_chunks: int, max_steps: int,
                   inc: int, schedule=DEFAULT_SCHEDULE, mesh_color=None,
-                  mesh_depth=None, shade_cap_div: int = 4):
+                  mesh_depth=None, shade_cap_div: int = 4,
+                  aux_layout: str = "chw"):
     """Trace + composite + aux assembly (the reference render_kernel).
 
     mesh_color [R,3] / mesh_depth [R] optionally carry a rasterized mesh
     pass: depth clips rays (t_max, volrend.cu:146-153) and color replaces
     the background during compositing (the onscreen path at
-    volrend.cu:180-184)."""
+    volrend.cu:180-184).
+
+    aux_layout: "chw" (default, the write_buffer contract), "nhwc", or
+    "raw" -- return the composited [R,4] rows so the caller builds
+    whichever aux layout(s) it needs without a round-trip transpose."""
     R = width * height
     spp = opt.spp
     dirs, cens = device_camera_rays(transform, width, height, fx, fy)
@@ -1191,24 +1196,45 @@ def _render_noisy(tree: DeviceTree, transform, state_hi, state_lo, *,
     else:
         out = render_chunk((wdirs, vdirs, wcens, dst, tmax_bg))
 
-    return composite_and_aux(out, width, height,
-                             opt.background_brightness, mesh_color)
+    img, outc = composite(out, width, height,
+                          opt.background_brightness, mesh_color)
+    if aux_layout == "raw":
+        return img, outc
+    return img, aux_from_composite(outc, width, height, aux_layout)
 
 
-def composite_and_aux(out, width: int, height: int, background, mesh_color=None):
-    """Background/mesh compositing + the 8-channel aux buffer
-    (volrend.cu:173-202).  out: [R,4] premultiplied rgb+alpha."""
+def composite(out, width: int, height: int, background, mesh_color=None):
+    """Background/mesh compositing (volrend.cu:173-184).  out: [R,4]
+    premultiplied rgb+alpha -> (img [H,W,4], composited rows [R,4])."""
     R = width * height
     nalpha = 1.0 - out[:, 3]
     behind = mesh_color if mesh_color is not None else background
     rgb = out[:, :3] + behind * nalpha[:, None]
     out = out.at[:, :3].set(rgb)
-    aux = jnp.concatenate([out, out * out], axis=-1)  # [R, 8]
-    aux = aux.T.reshape(8, height, width)
     img = jnp.concatenate(
         [rgb, jnp.ones((R, 1), jnp.float32)], axis=-1).reshape(
         height, width, 4)
-    return img, aux
+    return img, out
+
+
+def aux_from_composite(outc, width: int, height: int,
+                       layout: str = "chw"):
+    """The 8-channel aux statistics buffer (volrend.cu:186-202):
+    composited rgba + its square.  layout "chw" -> [8,H,W] (the
+    write_buffer / training-dump contract); "nhwc" -> [H,W,8] (the
+    denoiser's native input -- built straight from the [R,8] rows, no
+    transpose)."""
+    aux = jnp.concatenate([outc, outc * outc], axis=-1)  # [R, 8]
+    if layout == "nhwc":
+        return aux.reshape(height, width, 8)
+    return aux.T.reshape(8, height, width)
+
+
+def composite_and_aux(out, width: int, height: int, background, mesh_color=None):
+    """Background/mesh compositing + the 8-channel aux buffer
+    (volrend.cu:173-202).  out: [R,4] premultiplied rgb+alpha."""
+    img, outc = composite(out, width, height, background, mesh_color)
+    return img, aux_from_composite(outc, width, height)
 
 
 def _denoise(aux_nhwc, noisy_img, net_params, net_cfg: GuidanceNetConfig):
@@ -1225,7 +1251,8 @@ def _denoise(aux_nhwc, noisy_img, net_params, net_cfg: GuidanceNetConfig):
     jax.jit,
     static_argnames=("width", "height", "fx", "fy", "opt",
                      "n_chunks", "max_steps", "inc", "net_cfg",
-                     "schedule", "has_mesh", "shade_cap_div"))
+                     "schedule", "has_mesh", "shade_cap_div",
+                     "want_aux"))
 def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo,
                        net_params, mesh_color, mesh_depth, *, width: int,
                        height: int, fx: float, fy: float,
@@ -1233,17 +1260,24 @@ def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo,
                        max_steps: int, inc: int,
                        net_cfg: Optional[GuidanceNetConfig],
                        schedule=DEFAULT_SCHEDULE, has_mesh: bool = False,
-                       shade_cap_div: int = 4):
-    img, aux = _render_noisy(
+                       shade_cap_div: int = 4, want_aux: bool = True):
+    img, outc = _render_noisy(
         tree, transform, state_hi, state_lo, width=width, height=height,
         fx=fx, fy=fy, opt=opt, n_chunks=n_chunks, max_steps=max_steps,
         inc=inc, schedule=schedule,
         mesh_color=mesh_color if has_mesh else None,
         mesh_depth=mesh_depth if has_mesh else None,
-        shade_cap_div=shade_cap_div)
+        shade_cap_div=shade_cap_div, aux_layout="raw")
     if opt.denoise and net_cfg is not None:
-        aux_nhwc = jnp.moveaxis(aux, 0, -1)
+        # the denoiser reads the aux statistics in its native NHWC
+        # layout, built straight from the composited rows -- the [8,H,W]
+        # write_buffer layout is only materialized when the caller asks
+        # for it (want_aux), saving a 20MB transposed store + a
+        # dependent transpose per frame otherwise.
+        aux_nhwc = aux_from_composite(outc, width, height, "nhwc")
         img = _denoise(aux_nhwc, img, net_params, net_cfg)
+    aux = (aux_from_composite(outc, width, height)
+           if want_aux else None)
     return img, aux
 
 
@@ -1297,11 +1331,17 @@ class Renderer:
         self.rng.advance()
 
     def render(self, transform: np.ndarray, mesh_color=None,
-               mesh_depth=None):
+               mesh_depth=None, want_aux: bool = True):
         """transform: [3,4] c2w.  Returns (img [H,W,4], aux [8,H,W]) device
         arrays (not synchronized).  If denoise is on and a denoiser is
         attached, img is the filtered output; aux always carries the noisy
         statistics (the reference writes aux before denoising).
+
+        want_aux=False skips materializing the [8,H,W] aux buffer and
+        returns (img, None) -- the denoiser still consumes the full
+        8-channel statistics (in its native NHWC layout); only the
+        write_buffer-layout copy is elided.  Use for display/benchmark
+        frames where the caller reads only img.
 
         mesh_color [H,W,3] / mesh_depth [H,W] from render/raster.py enable
         mesh compositing (depth-clipped rays + mesh behind volume)."""
@@ -1326,7 +1366,7 @@ class Renderer:
             n_chunks=self.n_chunks, max_steps=self.max_steps,
             inc=self.rng.inc, net_cfg=self.net_cfg if denoise else None,
             schedule=self.schedule, has_mesh=has_mesh,
-            shade_cap_div=self.shade_cap_div)
+            shade_cap_div=self.shade_cap_div, want_aux=want_aux)
 
     def render_with_probe(self, transform: np.ndarray, **kw):
         """render() plus the lumisphere probe overlay when
@@ -1392,7 +1432,7 @@ def _auto_chunks(height: int) -> int:
 
 _render_noisy_jit = functools.partial(jax.jit, static_argnames=(
     "width", "height", "fx", "fy", "opt", "n_chunks", "max_steps",
-    "inc", "schedule", "shade_cap_div"))(_render_noisy)
+    "inc", "schedule", "shade_cap_div", "aux_layout"))(_render_noisy)
 
 
 @functools.partial(jax.jit, static_argnames=("net_cfg",))

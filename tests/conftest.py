@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Tests must be hermetic to persistent-cache state: XLA:CPU AOT entries
+# written on a different host (this VM migrates) carry machine features
+# the new host lacks, and loading/serializing them can SIGILL/segfault.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -100,6 +100,24 @@ def test_render_with_denoiser(tree):
     np.testing.assert_allclose(img[..., 3], 1.0)
     # aux carries the *noisy* image, not the filtered one
     assert not np.allclose(img[..., 0], aux[0])
+    # want_aux=False elides only the [8,H,W] copy: identical image,
+    # aux None, and the denoiser still ran on the full 8-ch statistics
+    r.rng.seed(20230418, 1)
+    img2, aux2 = r.render(cam.transform, want_aux=False)
+    assert aux2 is None
+    np.testing.assert_allclose(np.asarray(img2), img, atol=1e-6)
+    # NHWC aux layout is the same data as CHW
+    from rt_octree_tpu.render.renderer import (_render_noisy, FrozenOptions)
+    fopt = FrozenOptions.from_options(RenderOptions(spp=2, denoise=False))
+    kw = dict(width=cam.width, height=cam.height, fx=cam.fx, fy=cam.fy,
+              opt=fopt, n_chunks=1, max_steps=512, inc=1)
+    _, aux_chw = _render_noisy(dt, jnp.asarray(cam.transform),
+                               jnp.uint32(0), jnp.uint32(1), **kw)
+    _, aux_nhwc = _render_noisy(dt, jnp.asarray(cam.transform),
+                                jnp.uint32(0), jnp.uint32(1),
+                                aux_layout="nhwc", **kw)
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(aux_chw), 0, -1), np.asarray(aux_nhwc))
 
 
 @pytest.mark.parametrize("compact_frac,phase1", [(4, 4), (256, 2)])

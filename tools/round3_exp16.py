@@ -149,8 +149,12 @@ def main():
                      shade_cap_div=SHADE_DIV)
 
     def v_frame0():
-        img, _ = r0.render(cam.transform)
+        img, _ = r0.render(cam.transform, want_aux=False)
         return img
+
+    def v_frame_aux():
+        img, aux = r0.render(cam.transform)
+        return aux
 
     timeit(v_mdeath, dt, transform, hi, lo,
            label="march + death boundaries (no final shade)")
@@ -162,7 +166,8 @@ def main():
            label="+ shade sliced to cap div=8")
     timeit(make_shade_div(12), dt, transform, hi, lo,
            label="+ shade sliced to cap div=12")
-    timeit(v_frame0, label="full frame, denoise off (+composite/aux)")
+    timeit(v_frame0, label="full frame, denoise off, want_aux=False")
+    timeit(v_frame_aux, label="full frame, denoise off, + [8,H,W] aux")
     print("DONE", flush=True)
 
 
