@@ -14,7 +14,24 @@ from __future__ import annotations
 import sys
 
 
+def _honor_env_platforms() -> None:
+    """Make JAX_PLATFORMS authoritative for CLI subprocesses.  A site
+    hook in this environment registers the remote-TPU backend and makes
+    it the default platform regardless of the env var; applying the env
+    value through jax.config here restores the documented contract
+    (JAX_PLATFORMS=cpu runs on CPU even when the TPU tunnel is down)."""
+    import os
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plats)
+        except Exception:
+            pass
+
+
 def main(argv=None) -> int:
+    _honor_env_platforms()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
