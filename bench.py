@@ -212,6 +212,77 @@ def second_scene_fps(net_cfg, net_params):
     return 1.0 / dt_frame
 
 
+def llff_scene_fps(net_cfg, net_params):
+    """LLFF forward-facing companion: canonical 1008x756 resolution,
+    NDC-warped rays (volrend.cu:35-56 path), a "blobs" occupancy tree
+    (soft irregular clusters -- the unstructured-capture scene class).
+    Same canonical options + auto-tuned schedule.  Returns FPS or None
+    (set RT_BENCH_LLFF=0 to skip)."""
+    if os.environ.get("RT_BENCH_LLFF", "1") != "1":
+        return None
+    import jax
+    import jax.numpy as jnp
+    from rt_octree_tpu.core.camera import Camera
+    from rt_octree_tpu.core.options import RenderOptions
+    from rt_octree_tpu.ops.traversal import upload_tree
+    from rt_octree_tpu.render.renderer import Renderer
+    from rt_octree_tpu.render.schedule import auto_schedule
+
+    # canonical LLFF factor-4 resolution; RT_BENCH_LLFF_SCALE shrinks it
+    # proportionally (CPU smoke tests)
+    s = float(os.environ.get("RT_BENCH_LLFF_SCALE", "1"))
+    W, H, focal = int(1008 * s), int(756 * s), 800.0 * s
+    tree = get_tree("blobs")
+    tree.use_ndc = True
+    tree.ndc_width = float(W)
+    tree.ndc_height = float(H)
+    tree.ndc_focal = focal
+    lut_levels = int(os.environ.get("RT_BENCH_LUT", "9"))
+    dt = upload_tree(tree, lut_levels=min(lut_levels, tree.max_depth))
+    opt = RenderOptions(spp=6, denoise=True, step_size=1e-4,
+                        sigma_thresh=1e-2, background_brightness=1.0)
+    cam = Camera(width=W, height=H, fx=focal, fy=focal)
+    # forward-facing pose near the NDC origin looking down -z
+    cam.center = np.array([0.02, 0.01, 0.3], np.float32)
+    cam.v_back = np.array([0.0, 0.0, 1.0], np.float32)
+    cam.v_world_up = np.array([0.0, 1.0, 0.0], np.float32)
+    cam.update()
+    sched, shade_div = auto_schedule(dt, [cam.transform], opt, cam.fx,
+                                     cam.fy, W, H, with_shade_div=True)
+    print(f"[bench] llff-scene auto schedule: "
+          f"{[(s, round(d, 1), k, t, round(dd, 1)) for s, d, k, t, dd in sched]} "
+          f"shade_div={shade_div}", file=sys.stderr)
+    r = Renderer(dt, W, H, cam.fx, cam.fy, options=opt,
+                 schedule=sched, shade_cap_div=shade_div)
+    if net_cfg is not None:
+        r.set_denoiser(net_cfg, net_params)
+
+    checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
+
+    def frame():
+        img, _ = r.render(cam.transform, want_aux=False)
+        r.advance_rng()
+        return img
+
+    t0 = time.time()
+    float(checksum(frame()))
+    print(f"[bench] llff compile+first frame: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    for _ in range(WARMUP):
+        float(checksum(frame()))
+    frames = max(FRAMES // 2, 5)
+    t0 = time.time()
+    acc = None
+    for _ in range(frames):
+        c = checksum(frame())
+        acc = c if acc is None else acc + c
+    float(acc)
+    dt_frame = (time.time() - t0) / frames
+    print(f"[bench] llff ndc scene ({W}x{H}): {dt_frame*1000:.1f} ms/frame"
+          f" ({1.0/dt_frame:.2f} FPS)", file=sys.stderr)
+    return 1.0 / dt_frame
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -313,6 +384,7 @@ def main():
 
     quality = quality_report(r, dt)
     fps_solid = second_scene_fps(r.net_cfg, r.net_params)
+    fps_llff = llff_scene_fps(r.net_cfg, r.net_params)
 
     out = {
         "metric": "fps_800x800_spp6_denoise_shell_d9",
@@ -324,6 +396,8 @@ def main():
         out["quality"] = quality
     if fps_solid is not None:
         out["fps_solid_hard_surface"] = round(fps_solid, 3)
+    if fps_llff is not None:
+        out["fps_llff_ndc_1008x756"] = round(fps_llff, 3)
     print(json.dumps(out))
 
 
