@@ -31,3 +31,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def np_rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables at module boundaries.
+
+    The suite compiles hundreds of large march programs in one process;
+    on the single-core CI host the accumulated XLA:CPU JIT state has
+    produced mid-suite segfaults inside backend_compile_and_load (always
+    ~110 tests in, never in isolation).  Releasing executables between
+    modules keeps the live JIT footprint bounded.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
