@@ -71,7 +71,7 @@ def canary(tree, dt, size=24, spp=2, atol=1e-4):
     print(f"[bench] numerics canary ok (max err {err:.2e})", file=sys.stderr)
 
 
-def quality_report(r, dtree):
+def quality_report(r, kits, label=""):
     """Denoise quality vs converged GT over the HELD-OUT POSE SET:
     whole-image PSNR, object-masked PSNR (pixels the volume actually
     hits -- aux alpha > 0 -- so the white background can't inflate the
@@ -79,21 +79,22 @@ def quality_report(r, dtree):
     denoised output (the reference's evaluation protocol,
     denoiser/runner.py:126-160).  All metrics are computed ON DEVICE and
     only scalars cross the tunnel (a full-frame readback is ~10 s at
-    tunnel bandwidth).  Returns the metrics dict for the bench JSON."""
+    tunnel bandwidth).  ``kits`` lists candidate kit directories
+    (transforms_test.json + test/*.png GT); the first that exists wins.
+    Returns the metrics dict for the bench JSON."""
     import json as _json
 
     import numpy as np
 
-    qd = os.path.join(CACHE, "quality_ds")
-    tf = os.path.join(qd, "transforms_test.json")
-    if not os.path.exists(tf):
-        # committed minimal kit (held-out poses + classic-marcher GT)
-        qd = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "benchmarks", "quality")
-        tf = os.path.join(qd, "transforms_test.json")
-    if not (os.path.exists(tf) and r.net_cfg is not None):
-        print("[bench] quality: no quality_ds; skipping PSNR",
-              file=sys.stderr)
+    qd = tf = None
+    for cand in kits:
+        t = os.path.join(cand, "transforms_test.json")
+        if os.path.exists(t):
+            qd, tf = cand, t
+            break
+    if qd is None or r.net_cfg is None:
+        print(f"[bench] quality{label and ' ' + label}: no quality kit; "
+              "skipping PSNR", file=sys.stderr)
         return None
     import jax
     import jax.numpy as jnp
@@ -143,7 +144,8 @@ def quality_report(r, dtree):
                      "ssim": round(float(m[2]), 5)}
     gain = out["denoised"]["psnr"] - out["noisy"]["psnr"]
     gain_obj = out["denoised"]["psnr_obj"] - out["noisy"]["psnr_obj"]
-    print(f"[bench] quality over {out['poses']} poses: "
+    print(f"[bench] quality{label and ' ' + label} over "
+          f"{out['poses']} poses: "
           f"PSNR {out['noisy']['psnr']:.2f} -> "
           f"{out['denoised']['psnr']:.2f} dB ({gain:+.2f}); "
           f"object-masked {out['noisy']['psnr_obj']:.2f} -> "
@@ -151,6 +153,37 @@ def quality_report(r, dtree):
           f"SSIM {out['noisy']['ssim']:.4f} -> "
           f"{out['denoised']['ssim']:.4f}", file=sys.stderr)
     return out
+
+
+def scene_kits(scene):
+    """Candidate quality-kit dirs for a companion scene: the full
+    generated dataset in the cache, else the committed minimal kit."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    return [os.path.join(CACHE, f"quality_ds_{scene}"),
+            os.path.join(here, "benchmarks", f"quality_{scene}")]
+
+
+def scene_denoiser(r, scene, net_cfg, net_params):
+    """Attach the companion scene's denoiser: prefer a net trained on
+    THIS scene's dataset (reference parity -- per-dataset denoisers,
+    denoiser/configs/{blender,tt,llff}.txt), else the committed kit,
+    else reuse the headline (shell-trained) net."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(glob.glob(os.path.join(
+        CACHE, f"quality_ds_{scene}", "work", "ts_*.gnet")))
+    kit = os.path.join(here, "benchmarks", f"quality_{scene}",
+                       "trained.gnet")
+    if cands:
+        r.set_denoiser(cands[-1])
+        print(f"[bench] {scene} denoiser: {cands[-1]}", file=sys.stderr)
+    elif os.path.exists(kit):
+        r.set_denoiser(kit)
+        print(f"[bench] {scene} denoiser: {kit}", file=sys.stderr)
+    elif net_cfg is not None:
+        r.set_denoiser(net_cfg, net_params)
+        print(f"[bench] {scene} denoiser: headline (shell-trained) net",
+              file=sys.stderr)
 
 
 def second_scene_fps(net_cfg, net_params):
@@ -183,8 +216,7 @@ def second_scene_fps(net_cfg, net_params):
           f"shade_div={shade_div}", file=sys.stderr)
     r = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt,
                  schedule=sched, shade_cap_div=shade_div)
-    if net_cfg is not None:
-        r.set_denoiser(net_cfg, net_params)
+    scene_denoiser(r, "solid", net_cfg, net_params)
 
     checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
 
@@ -209,7 +241,8 @@ def second_scene_fps(net_cfg, net_params):
     dt_frame = (time.time() - t0) / frames
     print(f"[bench] solid hard-surface scene: {dt_frame*1000:.1f} ms/frame"
           f" ({1.0/dt_frame:.2f} FPS)", file=sys.stderr)
-    return 1.0 / dt_frame
+    qual = quality_report(r, scene_kits("solid"), "solid")
+    return 1.0 / dt_frame, qual
 
 
 def llff_scene_fps(net_cfg, net_params):
@@ -254,8 +287,7 @@ def llff_scene_fps(net_cfg, net_params):
           f"shade_div={shade_div}", file=sys.stderr)
     r = Renderer(dt, W, H, cam.fx, cam.fy, options=opt,
                  schedule=sched, shade_cap_div=shade_div)
-    if net_cfg is not None:
-        r.set_denoiser(net_cfg, net_params)
+    scene_denoiser(r, "blobs", net_cfg, net_params)
 
     checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
 
@@ -280,11 +312,18 @@ def llff_scene_fps(net_cfg, net_params):
     dt_frame = (time.time() - t0) / frames
     print(f"[bench] llff ndc scene ({W}x{H}): {dt_frame*1000:.1f} ms/frame"
           f" ({1.0/dt_frame:.2f} FPS)", file=sys.stderr)
-    return 1.0 / dt_frame
+    qual = quality_report(r, scene_kits("blobs"), "llff")
+    return 1.0 / dt_frame, qual
 
 
 def main():
     import jax
+    # Make JAX_PLATFORMS authoritative (the site hook registers the
+    # remote-TPU backend as default regardless of the env var); lets
+    # JAX_PLATFORMS=cpu run scaled-down smoke benches off-device.
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        jax.config.update("jax_platforms", plats)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(CACHE, "xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
@@ -382,9 +421,25 @@ def main():
     fps = 1.0 / dt_frame
     print(f"[bench] {dt_frame*1000:.1f} ms/frame", file=sys.stderr)
 
-    quality = quality_report(r, dt)
-    fps_solid = second_scene_fps(r.net_cfg, r.net_params)
-    fps_llff = llff_scene_fps(r.net_cfg, r.net_params)
+    # Companion sections are fail-soft: the headline JSON line must print
+    # even if a companion scene trips on the measurement host (the canary
+    # above stays hard-failing -- correctness is never fail-soft).
+    def _soft(fn, *args):
+        try:
+            return fn(*args)
+        except Exception as e:  # noqa: BLE001 -- report and keep going
+            print(f"[bench] {fn.__name__} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            return None
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    quality = _soft(quality_report, r,
+                    [os.path.join(CACHE, "quality_ds"),
+                     os.path.join(here, "benchmarks", "quality")])
+    solid = _soft(second_scene_fps, r.net_cfg, r.net_params) or (None, None)
+    llff = _soft(llff_scene_fps, r.net_cfg, r.net_params) or (None, None)
+    fps_solid, qual_solid = solid
+    fps_llff, qual_llff = llff
 
     out = {
         "metric": "fps_800x800_spp6_denoise_shell_d9",
@@ -396,8 +451,12 @@ def main():
         out["quality"] = quality
     if fps_solid is not None:
         out["fps_solid_hard_surface"] = round(fps_solid, 3)
+    if qual_solid is not None:
+        out["quality_solid"] = qual_solid
     if fps_llff is not None:
         out["fps_llff_ndc_1008x756"] = round(fps_llff, 3)
+    if qual_llff is not None:
+        out["quality_llff"] = qual_llff
     print(json.dumps(out))
 
 

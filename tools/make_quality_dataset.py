@@ -1,6 +1,6 @@
-"""Build the denoiser quality dataset from the bench scene.
+"""Build a denoiser quality dataset from a bench scene.
 
-Renders, for a set of orbit poses around the synthetic shell octree:
+Renders, for a set of poses over a synthetic bench octree:
   * noisy SPP=6 aux buffers (``buf_<name>.bin``, the --write_buffer
     format, main_headless.cpp:512-523), and
   * converged ground truth via the classic exponential-transmittance
@@ -10,6 +10,13 @@ Renders, for a set of orbit poses around the synthetic shell octree:
 Output directory matches the blender dataset layout consumed by
 train/dataset.py, so the canonical training protocol (10x10 slices,
 bs=32, SMAPE) runs on it unchanged.
+
+Scenes (QD_SCENE): ``shell`` (default; orbit poses, the headline bench
+scene), ``solid`` (orbit poses, hard-surface companion), ``blobs``
+(LLFF-style forward-facing poses with the NDC warp at the canonical
+1008x756 -- the third bench scene).  QD_SPLITS=test builds only the
+held-out GT kit (cheap; used by bench.py's per-scene quality gates),
+the default ``train,test`` builds the full training set too.
 
 Run: nohup python tools/make_quality_dataset.py > /tmp/quality_ds.log 2>&1 &
 """
@@ -25,17 +32,34 @@ os.environ.setdefault("JAX_PLATFORMS", "axon")
 import jax
 import jax.numpy as jnp
 
+# honor the env var over the site hook's default platform (lets
+# JAX_PLATFORMS=cpu build scaled-down kits off-device)
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(ROOT, ".bench_cache", "xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-OUT = os.path.join(ROOT, ".bench_cache", "quality_ds")
+SCENE = os.environ.get("QD_SCENE", "shell")
+OUT = os.path.join(ROOT, ".bench_cache",
+                   "quality_ds" if SCENE == "shell"
+                   else f"quality_ds_{SCENE}")
+SPLITS = [s for s in os.environ.get("QD_SPLITS", "train,test").split(",")
+          if s]
 N_TRAIN = int(os.environ.get("QD_TRAIN", "32"))
 N_TEST = int(os.environ.get("QD_TEST", "8"))
 SPP = 6
 RES = int(os.environ.get("QD_RES", "800"))
+# blobs = the LLFF NDC bench scene: canonical factor-4 resolution
+NDC = SCENE == "blobs"
+QD_SCALE = float(os.environ.get("QD_SCALE", "1"))
+if NDC:
+    W, H, FOCAL = int(1008 * QD_SCALE), int(756 * QD_SCALE), 800.0 * QD_SCALE
+else:
+    W = H = int(RES * QD_SCALE)
+    FOCAL = None  # Camera default focal
 
 
 def orbit_pose(azim: float, elev: float, radius: float = 5.02):
@@ -43,39 +67,73 @@ def orbit_pose(azim: float, elev: float, radius: float = 5.02):
     c = radius * np.array([np.cos(elev) * np.cos(azim),
                            np.cos(elev) * np.sin(azim),
                            np.sin(elev)], np.float32)
-    cam = Camera(width=RES, height=RES, center=c,
+    cam = Camera(width=W, height=H, center=c,
                  v_back=c / np.linalg.norm(c))
     return cam
 
 
+def forward_pose(jx: float, jy: float, jz: float, tx: float, ty: float):
+    """LLFF-style forward-facing pose: small translation jitter, nearly
+    parallel view directions (the capture regime NDC was designed for,
+    volrend.cu:35-56)."""
+    from rt_octree_tpu.core.camera import Camera
+    back = np.array([tx, ty, 1.0], np.float32)
+    back /= np.linalg.norm(back)
+    cam = Camera(width=W, height=H, fx=FOCAL, fy=FOCAL,
+                 center=np.array([jx, jy, jz], np.float32),
+                 v_back=back)
+    return cam
+
+
 def main():
+    from bench import get_tree
     from rt_octree_tpu.core.options import RenderOptions
-    from rt_octree_tpu.io import n3tree
     from rt_octree_tpu.io.images import write_png
     from rt_octree_tpu.ops.traversal import upload_tree
     from rt_octree_tpu.render.renderer import Renderer
+    from rt_octree_tpu.render.schedule import auto_schedule
 
-    print(f"devices: {jax.devices()}", flush=True)
-    tree = n3tree.load(os.path.join(ROOT, ".bench_cache",
-                                    "shell_d9_sh9.npz"))
-    dt = upload_tree(tree, lut_levels=9)
+    print(f"devices: {jax.devices()}  scene={SCENE} splits={SPLITS} "
+          f"{W}x{H} ndc={NDC}", flush=True)
+    tree = get_tree(SCENE)
+    if NDC:
+        tree.use_ndc = True
+        tree.ndc_width = float(W)
+        tree.ndc_height = float(H)
+        tree.ndc_focal = FOCAL
+    dt = upload_tree(tree, lut_levels=min(9, tree.max_depth))
 
     rng = np.random.default_rng(7)
-    poses = {"train": [], "test": []}
+    poses = {}
     for split, n in (("train", N_TRAIN), ("test", N_TEST)):
+        poses[split] = []
         for i in range(n):
-            azim = rng.uniform(0, 2 * np.pi)
-            elev = rng.uniform(np.deg2rad(-25), np.deg2rad(65))
-            poses[split].append(orbit_pose(azim, elev))
+            if NDC:
+                poses[split].append(forward_pose(
+                    rng.uniform(-0.2, 0.2), rng.uniform(-0.15, 0.15),
+                    rng.uniform(0.15, 0.45),
+                    rng.uniform(-0.08, 0.08), rng.uniform(-0.08, 0.08)))
+            else:
+                azim = rng.uniform(0, 2 * np.pi)
+                elev = rng.uniform(np.deg2rad(-25), np.deg2rad(65))
+                poses[split].append(orbit_pose(azim, elev))
 
     cam0 = poses["train"][0]
     noisy_opt = RenderOptions(spp=SPP, denoise=False)
     gt_opt = RenderOptions(spp=1, denoise=False, estimator="classic")
-    r_noisy = Renderer(dt, RES, RES, cam0.fx, cam0.fy, options=noisy_opt)
-    r_gt = Renderer(dt, RES, RES, cam0.fx, cam0.fy, options=gt_opt,
+    # non-shell scenes need their own survivor-curve schedule (the
+    # shell-tuned defaults overflow or under-run elsewhere, PERF.md)
+    sched = None
+    if SCENE != "shell":
+        sched = auto_schedule(dt, [cam0.transform], noisy_opt,
+                              cam0.fx, cam0.fy, W, H)
+        print(f"auto schedule: {sched}", flush=True)
+    r_noisy = Renderer(dt, W, H, cam0.fx, cam0.fy, options=noisy_opt,
+                       schedule=sched)
+    r_gt = Renderer(dt, W, H, cam0.fx, cam0.fy, options=gt_opt,
                     max_steps=16384)
 
-    for split in ("train", "test"):
+    for split in SPLITS:
         os.makedirs(os.path.join(OUT, split), exist_ok=True)
         os.makedirs(os.path.join(OUT, f"spp_{SPP}", split), exist_ok=True)
         frames = []
@@ -99,7 +157,7 @@ def main():
                   f"noisy_alpha_max={aux[3].max():.3f}", flush=True)
         with open(os.path.join(OUT, f"transforms_{split}.json"), "w") as f:
             json.dump({"camera_angle_x": 2 * np.arctan(
-                RES / (2 * cam0.fx)), "frames": frames}, f)
+                W / (2 * cam0.fx)), "frames": frames}, f)
     print("DONE", flush=True)
 
 
