@@ -22,8 +22,8 @@ import time
 
 import numpy as np
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench_cache")
+CACHE = os.environ.get("RT_BENCH_CACHE") or os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 BASELINE_FPS = 30.0
 DEPTH = int(os.environ.get("RT_BENCH_DEPTH", "9"))
 WARMUP = int(os.environ.get("RT_BENCH_WARMUP", "5"))

@@ -40,13 +40,25 @@ from ..utils.rng import pcg32_uniforms_range
 # derived caps are conservative.  A fine grid up front lets the DP place
 # early boundaries for hard-surface scenes whose rays die within ~10
 # steps (the measured solid-scene curve: 1/35th alive by step 16).
-CHECKPOINTS = (1, 2, 3, 4, 6, 8, 11, 16, 22, 30, 40, 52, 70)
+# Checkpoint 0 samples the PRE-march alive mask (the bbox DDA hit test,
+# rt_core.cuh:208-214 semantics): when the tree projects onto a
+# minority of the frame (real capture poses with margins), the DP
+# places an entry compaction and the whole march runs pre-culled.
+CHECKPOINTS = (0, 1, 2, 3, 4, 6, 8, 11, 16, 22, 30, 40, 52, 70)
 # boundaries at/after this thin-step count use the brick body
 BRICK_FROM = 14
 # brick sub-steps per round (t_in=4 measured best in-jit everywhere)
 T_IN_MID, T_IN_DRAIN = 4, 4
 # estimated drain rounds beyond the last checkpoint (cost model only)
 DRAIN_ROUNDS = 60.0
+# extra thin steps the probe marches past the last checkpoint before
+# computing the hit-ray upper bound: still-alive rays count toward the
+# bound (they may yet record), so marching the probe closer to drained
+# tightens the shade cap toward the true hit count (the bench scene
+# measured hits_ub ~1.9x actual hits when bounded at checkpoint 70).
+# An under-probed pose only costs the dense shade fallback, never
+# correctness.
+HITS_EXTRA = 112
 # relative per-THIN-EQUIVALENT-STEP cost of brick marching: a brick
 # round costs ~2x a thin round per row (520B row + the sub-step VPU
 # block) and delivers ~1.5 steps -> 2/1.5.  Without this the DP
@@ -82,7 +94,9 @@ def _probe_counts(tree: DeviceTree, transform, state_hi, state_lo, *,
         deadcum.append(jnp.sum(
             ((~state[0]) & (state[3] > 0)).astype(jnp.int32)))
     # upper bound on HIT rays (shade-cap sizing): rays that recorded a
-    # crossing so far, plus every still-alive ray (it may yet record)
+    # crossing so far, plus every still-alive ray (it may yet record);
+    # march further first so "still alive" inflates the bound less
+    state = _march_loop(tree, opt, spp, consts, state, HITS_EXTRA)
     hits_ub = jnp.sum((state[3] > 0).astype(jnp.int32)) + \
         jnp.sum((state[0] & (state[3] == 0)).astype(jnp.int32))
     return jnp.stack(counts + deadcum + [hits_ub])

@@ -699,3 +699,71 @@ def test_cli_render_llff_dataset_e2e(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     pngs = list(out.glob("*.png"))
     assert len(pngs) == 2
+
+
+def test_quality_kit_dataset_e2e(tmp_path):
+    """The denoiser quality-evidence chain end-to-end at tiny scale:
+    tools/make_quality_dataset.py builds a held-out GT kit (classic
+    converged GT + SPP=6 aux dumps, the reference's buf_*.bin protocol,
+    main_headless.cpp:512-523), and bench.quality_report consumes it,
+    reporting PSNR/PSNR_obj/SSIM for noisy and denoised renders."""
+    import subprocess
+    import sys
+    import textwrap
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = tmp_path / "cache"
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "RT_BENCH_CACHE": str(cache), "RT_BENCH_DEPTH": "5",
+           "QD_SCENE": "solid", "QD_SPLITS": "test", "QD_TEST": "1",
+           "QD_RES": "64"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools",
+                                      "make_quality_dataset.py")],
+        capture_output=True, text=True, timeout=1200, cwd=root, env=env)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    kit = cache / "quality_ds_solid"
+    assert (kit / "transforms_test.json").exists()
+    assert (kit / "test" / "r_0.png").exists()
+    buf = kit / "spp_6" / "test" / "buf_r_0.bin"
+    assert buf.stat().st_size == 8 * 64 * 64 * 4
+
+    script = textwrap.dedent("""
+        import json, os, sys
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, %r)
+        import bench
+        from rt_octree_tpu.core.camera import Camera
+        from rt_octree_tpu.core.options import RenderOptions
+        from rt_octree_tpu.io import n3tree
+        from rt_octree_tpu.models.guidance_net import (
+            GuidanceNetConfig, compact_params, init_params)
+        from rt_octree_tpu.ops.traversal import upload_tree
+        from rt_octree_tpu.render.renderer import Renderer
+        tree = n3tree.load(os.path.join(%r, "solid_d5_sh9.npz"))
+        dt = upload_tree(tree, lut_levels=5)
+        cam = Camera(width=64, height=64)
+        r = Renderer(dt, 64, 64, cam.fx, cam.fy,
+                     options=RenderOptions(spp=6, denoise=True))
+        cfg = GuidanceNetConfig()
+        r.set_denoiser(cfg, compact_params(
+            cfg, init_params(cfg, jax.random.PRNGKey(0))))
+        q = bench.quality_report(r, [%r], "kit-e2e")
+        print("QJSON:" + json.dumps(q))
+    """) % (root, str(cache), str(kit))
+    r2 = subprocess.run([sys.executable, "-c", script],
+                        capture_output=True, text=True, timeout=1200,
+                        cwd=root, env=env)
+    assert r2.returncode == 0, (r2.stdout[-2000:], r2.stderr[-2000:])
+    line = [l for l in r2.stdout.splitlines() if l.startswith("QJSON:")]
+    assert line, r2.stdout[-2000:]
+    q = json.loads(line[0][len("QJSON:"):])
+    assert q["poses"] == 1
+    for mode in ("noisy", "denoised"):
+        assert np.isfinite(q[mode]["psnr"])
+        assert np.isfinite(q[mode]["psnr_obj"])
+        assert 0.0 < q[mode]["ssim"] <= 1.0
+    # the noisy SPP=6 render against the classic converged GT must be in
+    # a sane PSNR range (it is the signal the denoiser trains on)
+    assert q["noisy"]["psnr"] > 15.0

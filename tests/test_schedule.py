@@ -142,3 +142,31 @@ def test_auto_schedule_with_shade_div(scene):
                                probe_res=24, with_shade_div=True)
     assert 1 <= div <= 16
     assert sched[-1][:4] == (0, sched[-1][1], "brick", 4)
+
+
+def test_entry_cull_boundary_for_small_projection(scene):
+    """When the tree projects onto a minority of the frame (real capture
+    poses with margins), checkpoint 0 (the pre-march bbox hit mask,
+    rt_core.cuh:208-214) lets the DP compact at ENTRY -- and the culled
+    render stays bit-near the default-schedule one."""
+    from rt_octree_tpu.render.renderer import Renderer
+    from rt_octree_tpu.render.schedule import auto_schedule
+
+    tree, dt = scene
+    W = H = 48
+    # pulled far back: the unit cube covers a small center patch
+    cam = Camera(width=W, height=H, fx=40.0, fy=40.0,
+                 center=np.array([12.0, 0.0, 0.0], np.float32),
+                 v_back=np.array([1.0, 0.0, 0.0], np.float32))
+    opt = RenderOptions(spp=2, denoise=False)
+    sched, shade_div = auto_schedule(dt, cam.transform, opt, 40.0, 40.0,
+                                     W, H, probe_res=32,
+                                     with_shade_div=True)
+    # the first marching stage must already run compacted
+    assert sched[0][1] > 1.0, sched
+    r_def = Renderer(dt, W, H, 40.0, 40.0, options=opt, max_steps=512)
+    r_tuned = Renderer(dt, W, H, 40.0, 40.0, options=opt, max_steps=512,
+                       schedule=sched, shade_cap_div=shade_div)
+    img0 = np.asarray(r_def.render(cam.transform)[0])
+    img1 = np.asarray(r_tuned.render(cam.transform)[0])
+    np.testing.assert_allclose(img1, img0, atol=2e-6)

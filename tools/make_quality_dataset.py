@@ -43,9 +43,10 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 SCENE = os.environ.get("QD_SCENE", "shell")
-OUT = os.path.join(ROOT, ".bench_cache",
-                   "quality_ds" if SCENE == "shell"
-                   else f"quality_ds_{SCENE}")
+CACHE = os.environ.get("RT_BENCH_CACHE") or os.path.join(ROOT,
+                                                         ".bench_cache")
+OUT = os.environ.get("QD_OUT") or os.path.join(
+    CACHE, "quality_ds" if SCENE == "shell" else f"quality_ds_{SCENE}")
 SPLITS = [s for s in os.environ.get("QD_SPLITS", "train,test").split(",")
           if s]
 N_TRAIN = int(os.environ.get("QD_TRAIN", "32"))
