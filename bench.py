@@ -186,6 +186,38 @@ def scene_denoiser(r, scene, net_cfg, net_params):
               file=sys.stderr)
 
 
+def _timed_fps(r, transform, label):
+    """Companion-scene timing loop: compile + warm-up + chained-checksum
+    device-time frames (same protocol as the headline)."""
+    import jax
+    import jax.numpy as jnp
+
+    checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
+
+    def frame():
+        img, _ = r.render(transform, want_aux=False)
+        r.advance_rng()
+        return img
+
+    t0 = time.time()
+    float(checksum(frame()))
+    print(f"[bench] {label} compile+first frame: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    for _ in range(WARMUP):
+        float(checksum(frame()))
+    frames = max(FRAMES // 2, 5)
+    t0 = time.time()
+    acc = None
+    for _ in range(frames):
+        c = checksum(frame())
+        acc = c if acc is None else acc + c
+    float(acc)
+    dt_frame = (time.time() - t0) / frames
+    print(f"[bench] {label}: {dt_frame*1000:.1f} ms/frame"
+          f" ({1.0/dt_frame:.2f} FPS)", file=sys.stderr)
+    return 1.0 / dt_frame
+
+
 def second_scene_fps(net_cfg, net_params):
     """HARD-surface companion scene (solid interiors, NeRF-synthetic
     lego occupancy class -- the scene family BASELINE.json's 30 FPS
@@ -217,32 +249,41 @@ def second_scene_fps(net_cfg, net_params):
     r = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt,
                  schedule=sched, shade_cap_div=shade_div)
     scene_denoiser(r, "solid", net_cfg, net_params)
-
-    checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
-
-    def frame():
-        img, _ = r.render(cam.transform, want_aux=False)
-        r.advance_rng()
-        return img
-
-    t0 = time.time()
-    float(checksum(frame()))
-    print(f"[bench] solid compile+first frame: {time.time()-t0:.1f}s",
-          file=sys.stderr)
-    for _ in range(WARMUP):
-        float(checksum(frame()))
-    frames = max(FRAMES // 2, 5)
-    t0 = time.time()
-    acc = None
-    for _ in range(frames):
-        c = checksum(frame())
-        acc = c if acc is None else acc + c
-    float(acc)
-    dt_frame = (time.time() - t0) / frames
-    print(f"[bench] solid hard-surface scene: {dt_frame*1000:.1f} ms/frame"
-          f" ({1.0/dt_frame:.2f} FPS)", file=sys.stderr)
+    fps = _timed_fps(r, cam.transform, "solid hard-surface scene")
     qual = quality_report(r, scene_kits("solid"), "solid")
-    return 1.0 / dt_frame, qual
+    return fps, qual
+
+
+def tt_scene_fps(net_cfg, net_params):
+    """TanksAndTemples-resolution companion: the canonical 1920x1080
+    frame (main_headless.cpp:274-275 -- 2.07M rays/frame, the big-frame
+    capture regime) over the hard-surface tree.  Same canonical options
+    + auto-tuned schedule.  Returns FPS or None (RT_BENCH_TT=0 skips)."""
+    if os.environ.get("RT_BENCH_TT", "1") != "1":
+        return None
+    from rt_octree_tpu.core.camera import Camera
+    from rt_octree_tpu.core.options import RenderOptions
+    from rt_octree_tpu.ops.traversal import upload_tree
+    from rt_octree_tpu.render.renderer import Renderer
+    from rt_octree_tpu.render.schedule import auto_schedule
+
+    s = float(os.environ.get("RT_BENCH_TT_SCALE", "1"))
+    W, H, focal = int(1920 * s), int(1080 * s), 1158.0 * s
+    tree = get_tree("solid")
+    lut_levels = int(os.environ.get("RT_BENCH_LUT", "9"))
+    dt = upload_tree(tree, lut_levels=min(lut_levels, tree.max_depth))
+    opt = RenderOptions(spp=6, denoise=True, step_size=1e-4,
+                        sigma_thresh=1e-2, background_brightness=1.0)
+    cam = Camera(width=W, height=H, fx=focal, fy=focal)
+    sched, shade_div = auto_schedule(dt, [cam.transform], opt, cam.fx,
+                                     cam.fy, W, H, with_shade_div=True)
+    print(f"[bench] tt-scene auto schedule: "
+          f"{[(s_, round(d, 1), k, t, round(dd, 1)) for s_, d, k, t, dd in sched]} "
+          f"shade_div={shade_div}", file=sys.stderr)
+    r = Renderer(dt, W, H, cam.fx, cam.fy, options=opt,
+                 schedule=sched, shade_cap_div=shade_div)
+    scene_denoiser(r, "solid", net_cfg, net_params)
+    return _timed_fps(r, cam.transform, f"tt-resolution scene ({W}x{H})")
 
 
 def llff_scene_fps(net_cfg, net_params):
@@ -288,32 +329,9 @@ def llff_scene_fps(net_cfg, net_params):
     r = Renderer(dt, W, H, cam.fx, cam.fy, options=opt,
                  schedule=sched, shade_cap_div=shade_div)
     scene_denoiser(r, "blobs", net_cfg, net_params)
-
-    checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
-
-    def frame():
-        img, _ = r.render(cam.transform, want_aux=False)
-        r.advance_rng()
-        return img
-
-    t0 = time.time()
-    float(checksum(frame()))
-    print(f"[bench] llff compile+first frame: {time.time()-t0:.1f}s",
-          file=sys.stderr)
-    for _ in range(WARMUP):
-        float(checksum(frame()))
-    frames = max(FRAMES // 2, 5)
-    t0 = time.time()
-    acc = None
-    for _ in range(frames):
-        c = checksum(frame())
-        acc = c if acc is None else acc + c
-    float(acc)
-    dt_frame = (time.time() - t0) / frames
-    print(f"[bench] llff ndc scene ({W}x{H}): {dt_frame*1000:.1f} ms/frame"
-          f" ({1.0/dt_frame:.2f} FPS)", file=sys.stderr)
+    fps = _timed_fps(r, cam.transform, f"llff ndc scene ({W}x{H})")
     qual = quality_report(r, scene_kits("blobs"), "llff")
-    return 1.0 / dt_frame, qual
+    return fps, qual
 
 
 def main():
@@ -438,6 +456,7 @@ def main():
                      os.path.join(here, "benchmarks", "quality")])
     solid = _soft(second_scene_fps, r.net_cfg, r.net_params) or (None, None)
     llff = _soft(llff_scene_fps, r.net_cfg, r.net_params) or (None, None)
+    fps_tt = _soft(tt_scene_fps, r.net_cfg, r.net_params)
     fps_solid, qual_solid = solid
     fps_llff, qual_llff = llff
 
@@ -457,6 +476,8 @@ def main():
         out["fps_llff_ndc_1008x756"] = round(fps_llff, 3)
     if qual_llff is not None:
         out["quality_llff"] = qual_llff
+    if fps_tt is not None:
+        out["fps_tt_1920x1080"] = round(fps_tt, 3)
     print(json.dumps(out))
 
 
