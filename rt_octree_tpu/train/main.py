@@ -13,7 +13,23 @@ from .logger import BaseLogger, WandbLogger
 from .runner import Runner, seed_everything
 
 
+def _honor_env_platforms() -> None:
+    """Make JAX_PLATFORMS authoritative (same contract as apps/cli.py):
+    a site hook registers the remote-TPU backend as the default platform
+    regardless of the env var; applying the env value through jax.config
+    restores `JAX_PLATFORMS=cpu` training when the tunnel is down."""
+    import os
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plats)
+        except Exception:
+            pass
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
+    _honor_env_platforms()
     args = parse_args(argv)
     seed_everything(0)
 
