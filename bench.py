@@ -155,6 +155,19 @@ def quality_report(r, kits, label=""):
     return out
 
 
+def _soft_quality(r, kits, label):
+    """Per-scene quality gate, fail-soft INDEPENDENTLY of the scene's
+    FPS: a kit/GT inconsistency (e.g. a scaled-down smoke run against
+    full-resolution committed GT) must not discard the already-measured
+    frame time."""
+    try:
+        return quality_report(r, kits, label)
+    except Exception as e:  # noqa: BLE001 -- report and keep going
+        print(f"[bench] quality {label} failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
+
+
 def scene_kits(scene):
     """Candidate quality-kit dirs for a companion scene: the full
     generated dataset in the cache, else the committed minimal kit."""
@@ -250,7 +263,7 @@ def second_scene_fps(net_cfg, net_params):
                  schedule=sched, shade_cap_div=shade_div)
     scene_denoiser(r, "solid", net_cfg, net_params)
     fps = _timed_fps(r, cam.transform, "solid hard-surface scene")
-    qual = quality_report(r, scene_kits("solid"), "solid")
+    qual = _soft_quality(r, scene_kits("solid"), "solid")
     return fps, qual
 
 
@@ -330,7 +343,7 @@ def llff_scene_fps(net_cfg, net_params):
                  schedule=sched, shade_cap_div=shade_div)
     scene_denoiser(r, "blobs", net_cfg, net_params)
     fps = _timed_fps(r, cam.transform, f"llff ndc scene ({W}x{H})")
-    qual = quality_report(r, scene_kits("blobs"), "llff")
+    qual = _soft_quality(r, scene_kits("blobs"), "llff")
     return fps, qual
 
 
