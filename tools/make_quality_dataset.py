@@ -51,6 +51,10 @@ SPLITS = [s for s in os.environ.get("QD_SPLITS", "train,test").split(",")
           if s]
 N_TRAIN = int(os.environ.get("QD_TRAIN", "32"))
 N_TEST = int(os.environ.get("QD_TEST", "8"))
+# GT-only kits skip the noisy SPP renders + buf dumps: bench.py's
+# quality gates need only transforms_test.json + test/*.png GT (the
+# noisy side is rendered live); the bufs matter only for training.
+GT_ONLY = os.environ.get("QD_GT_ONLY", "") == "1"
 SPP = 6
 RES = int(os.environ.get("QD_RES", "800"))
 # blobs = the LLFF NDC bench scene: canonical factor-4 resolution
@@ -125,12 +129,14 @@ def main():
     # non-shell scenes need their own survivor-curve schedule (the
     # shell-tuned defaults overflow or under-run elsewhere, PERF.md)
     sched = None
-    if SCENE != "shell":
-        sched = auto_schedule(dt, [cam0.transform], noisy_opt,
-                              cam0.fx, cam0.fy, W, H)
-        print(f"auto schedule: {sched}", flush=True)
-    r_noisy = Renderer(dt, W, H, cam0.fx, cam0.fy, options=noisy_opt,
-                       schedule=sched)
+    r_noisy = None
+    if not GT_ONLY:
+        if SCENE != "shell":
+            sched = auto_schedule(dt, [cam0.transform], noisy_opt,
+                                  cam0.fx, cam0.fy, W, H)
+            print(f"auto schedule: {sched}", flush=True)
+        r_noisy = Renderer(dt, W, H, cam0.fx, cam0.fy, options=noisy_opt,
+                           schedule=sched)
     r_gt = Renderer(dt, W, H, cam0.fx, cam0.fy, options=gt_opt,
                     max_steps=16384)
 
@@ -140,13 +146,16 @@ def main():
         frames = []
         for i, cam in enumerate(poses[split]):
             name = f"r_{i}"
-            img_n, aux = r_noisy.render(cam.transform)
-            r_noisy.advance_rng()
+            alpha_max = float("nan")
+            if not GT_ONLY:
+                img_n, aux = r_noisy.render(cam.transform)
+                r_noisy.advance_rng()
+                aux = np.asarray(aux)
+                aux.astype(np.float32).tofile(os.path.join(
+                    OUT, f"spp_{SPP}", split, f"buf_{name}.bin"))
+                alpha_max = float(aux[3].max())
             img_gt, _ = r_gt.render(cam.transform)
-            aux = np.asarray(aux)
             img_gt = np.asarray(img_gt)
-            aux.astype(np.float32).tofile(
-                os.path.join(OUT, f"spp_{SPP}", split, f"buf_{name}.bin"))
             write_png(os.path.join(OUT, split, f"{name}.png"),
                       img_gt[..., :3])
             c2w = np.eye(4, dtype=np.float32)
@@ -155,7 +164,7 @@ def main():
                            "transform_matrix": c2w.tolist()})
             print(f"[{split} {i+1}/{len(poses[split])}] "
                   f"gt_mean={img_gt[..., :3].mean():.4f} "
-                  f"noisy_alpha_max={aux[3].max():.3f}", flush=True)
+                  f"noisy_alpha_max={alpha_max:.3f}", flush=True)
         with open(os.path.join(OUT, f"transforms_{split}.json"), "w") as f:
             json.dump({"camera_angle_x": 2 * np.arctan(
                 W / (2 * cam0.fx)), "frames": frames}, f)
