@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spp", type=int, default=None,
                    help="override spp from options")
     p.add_argument("--no-denoise", action="store_true")
+    p.add_argument("--denoise-auto", action="store_true",
+                   help="honor the .gnet artifact's denoise_recommended "
+                        "advice (a scene-trained net records when the "
+                        "measured quality gate shows filtering hurts, "
+                        "e.g. hard surfaces near-converged at SPP=6)")
     p.add_argument("--warmup", type=int, default=100,
                    help="warm-up frame count (reference uses 100)")
     p.add_argument("--lut_levels", type=int, default=7)
@@ -159,6 +164,12 @@ def run(argv: Optional[Sequence[str]] = None) -> int:
     renderer = Renderer(dt, width, height, fx, fy, options=options, **kw)
     if args.gnet:
         renderer.set_denoiser(args.gnet)
+        if (args.denoise_auto and options.denoise
+                and not renderer.denoise_recommended):
+            print("[rtoctree] .gnet advises denoise off for this scene "
+                  "(measured quality loss); honoring --denoise-auto",
+                  file=sys.stderr)
+            options.denoise = False
     if options.show_grid:
         renderer.set_grid_mesh(tree)
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import struct
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import flax.serialization
@@ -181,8 +181,14 @@ def apply_filtering(model: nn.Module, params, aux_chw: jnp.ndarray,
 _MAGIC = b"GNET0001"
 
 
-def save_compact(path: str, cfg: GuidanceNetConfig, folded_params) -> None:
-    header = json.dumps({
+def save_compact(path: str, cfg: GuidanceNetConfig, folded_params,
+                 meta: Optional[dict] = None) -> None:
+    """``meta`` carries optional per-artifact advice, e.g.
+    ``{"denoise_recommended": false, "note": "..."}`` for scenes where the
+    measured quality gate shows filtering COSTS quality (hard surfaces are
+    near-converged at SPP=6; see PERF.md per-scene denoiser section).
+    Consumers that don't understand a key ignore it."""
+    hdr = {
         "format": "guidance-net-compact",
         "in_channels": cfg.in_channels,
         "mid_channels": cfg.mid_channels,
@@ -192,7 +198,10 @@ def save_compact(path: str, cfg: GuidanceNetConfig, folded_params) -> None:
         "layout": "NHWC/HWIO",
         "contract": "input [B,8,H,W] f32 -> (weight [B,L,H,W] softmaxed, "
                     "guidance [B,L,H,W]) f32",
-    }).encode()
+    }
+    if meta:
+        hdr["meta"] = dict(meta)
+    header = json.dumps(hdr).encode()
     blob = flax.serialization.to_bytes(folded_params)
     with open(path, "wb") as f:
         f.write(_MAGIC)
@@ -201,8 +210,9 @@ def save_compact(path: str, cfg: GuidanceNetConfig, folded_params) -> None:
         f.write(blob)
 
 
-def load_compact(path: str):
-    """Returns (cfg, params) for GuidanceNetCompact."""
+def load_compact(path: str, with_meta: bool = False):
+    """Returns (cfg, params) for GuidanceNetCompact, or
+    (cfg, params, meta) when ``with_meta`` (meta = {} if absent)."""
     with open(path, "rb") as f:
         magic = f.read(8)
         if magic != _MAGIC:
@@ -223,6 +233,8 @@ def load_compact(path: str):
             for i, (cin, cout) in enumerate(cfg.layer_channels())})
     params = flax.serialization.from_bytes(template, blob)
     params = jax.tree.map(jnp.asarray, params)
+    if with_meta:
+        return cfg, params, header.get("meta", {})
     return cfg, params
 
 

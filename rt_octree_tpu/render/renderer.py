@@ -1315,17 +1315,27 @@ class Renderer:
         self.rng = Pcg32(seed)
         self.net_cfg: Optional[GuidanceNetConfig] = None
         self.net_params = None
+        self.denoise_recommended = True
         self._grid_mesh = None
 
     def set_denoiser(self, cfg_or_path, params=None) -> None:
         """Attach a compact GuidanceNet (mirrors create_denoiser /
-        Denoiser::Impl ctor, denoiser.cpp:12-29)."""
+        Denoiser::Impl ctor, denoiser.cpp:12-29).  A ``.gnet`` artifact
+        may carry ``denoise_recommended: false`` advice (measured: the
+        guided filter COSTS quality on hard-surface scenes already
+        near-converged at SPP=6); it is surfaced on the attribute and
+        never flips ``options.denoise`` implicitly (reference parity:
+        denoise defaults on, render_options.hpp)."""
         if isinstance(cfg_or_path, (str, bytes)):
             from ..models.guidance_net import load_compact
-            self.net_cfg, self.net_params = load_compact(cfg_or_path)
+            self.net_cfg, self.net_params, meta = load_compact(
+                cfg_or_path, with_meta=True)
+            self.denoise_recommended = bool(
+                meta.get("denoise_recommended", True))
         else:
             self.net_cfg = cfg_or_path
             self.net_params = params
+            self.denoise_recommended = True
 
     def advance_rng(self):
         self.rng.advance()

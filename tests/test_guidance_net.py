@@ -95,3 +95,33 @@ def test_single_layer_config():
     aux = jnp.zeros((1, 8, 8, 8))
     w, g = GuidanceNet(cfg).apply({"params": params}, aux)
     assert w.shape == (1, 2, 8, 8)
+
+
+def test_export_meta_roundtrip(tmp_path, cfg, params):
+    """The .gnet artifact carries optional advice metadata (e.g. the
+    measured per-scene denoise_recommended flag); old artifacts without
+    meta load as {} and tools/set_gnet_meta.py stamps it in place."""
+    import sys
+    sys.path.insert(0, "tools")
+    from set_gnet_meta import set_meta
+    from rt_octree_tpu.models.guidance_net import save_compact
+
+    path = str(tmp_path / "ts_meta.gnet")
+    _, folded = compact_and_export(cfg, params, path)
+    cfg2, params2, meta = load_compact(path, with_meta=True)
+    assert meta == {}  # no meta saved -> empty dict, not an error
+
+    save_compact(path, cfg, folded,
+                 meta={"denoise_recommended": False, "note": "hurts"})
+    cfg3, params3, meta3 = load_compact(path, with_meta=True)
+    assert cfg3 == cfg
+    assert meta3["denoise_recommended"] is False
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params2, params3)
+
+    # tool rewrite preserves params and merges keys
+    set_meta(path, {"denoise_recommended": True})
+    _, params4, meta4 = load_compact(path, with_meta=True)
+    assert meta4 == {"denoise_recommended": True, "note": "hurts"}
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params2, params4)

@@ -47,21 +47,34 @@ CACHE = os.environ.get("RT_BENCH_CACHE") or os.path.join(ROOT,
                                                          ".bench_cache")
 OUT = os.environ.get("QD_OUT") or os.path.join(
     CACHE, "quality_ds" if SCENE == "shell" else f"quality_ds_{SCENE}")
-SPLITS = [s for s in os.environ.get("QD_SPLITS", "train,test").split(",")
-          if s]
-N_TRAIN = int(os.environ.get("QD_TRAIN", "32"))
-N_TEST = int(os.environ.get("QD_TEST", "8"))
 # GT-only kits skip the noisy SPP renders + buf dumps: bench.py's
 # quality gates need only transforms_test.json + test/*.png GT (the
 # noisy side is rendered live); the bufs matter only for training.
 GT_ONLY = os.environ.get("QD_GT_ONLY", "") == "1"
+# GT-only defaults to the test split alone: converged-GT train frames
+# without bufs cannot be used for training and are expensive to render.
+_default_splits = "test" if GT_ONLY else "train,test"
+SPLITS = [s for s in os.environ.get("QD_SPLITS", _default_splits).split(",")
+          if s]
+if GT_ONLY and "train" in SPLITS:
+    print("[warn] QD_GT_ONLY with a 'train' split renders converged-GT "
+          "train frames that have no aux bufs and cannot train a net",
+          file=sys.stderr)
+N_TRAIN = int(os.environ.get("QD_TRAIN", "32"))
+N_TEST = int(os.environ.get("QD_TEST", "8"))
 SPP = 6
 RES = int(os.environ.get("QD_RES", "800"))
 # blobs = the LLFF NDC bench scene: canonical factor-4 resolution
 NDC = SCENE == "blobs"
+# tt = the TanksAndTemples-resolution bench regime: the solid
+# hard-surface tree at the canonical 1920x1080 (main_headless.cpp:274-275)
+TREE_KIND = {"tt": "solid"}.get(SCENE, SCENE)
 QD_SCALE = float(os.environ.get("QD_SCALE", "1"))
 if NDC:
     W, H, FOCAL = int(1008 * QD_SCALE), int(756 * QD_SCALE), 800.0 * QD_SCALE
+elif SCENE == "tt":
+    W, H = int(1920 * QD_SCALE), int(1080 * QD_SCALE)
+    FOCAL = 1158.0 * QD_SCALE  # bench.py tt_scene_fps focal
 else:
     W = H = int(RES * QD_SCALE)
     FOCAL = None  # Camera default focal
@@ -72,8 +85,9 @@ def orbit_pose(azim: float, elev: float, radius: float = 5.02):
     c = radius * np.array([np.cos(elev) * np.cos(azim),
                            np.cos(elev) * np.sin(azim),
                            np.sin(elev)], np.float32)
+    kw = {"fx": FOCAL, "fy": FOCAL} if FOCAL else {}
     cam = Camera(width=W, height=H, center=c,
-                 v_back=c / np.linalg.norm(c))
+                 v_back=c / np.linalg.norm(c), **kw)
     return cam
 
 
@@ -100,7 +114,7 @@ def main():
 
     print(f"devices: {jax.devices()}  scene={SCENE} splits={SPLITS} "
           f"{W}x{H} ndc={NDC}", flush=True)
-    tree = get_tree(SCENE)
+    tree = get_tree(TREE_KIND)
     if NDC:
         tree.use_ndc = True
         tree.ndc_width = float(W)
@@ -142,7 +156,11 @@ def main():
 
     for split in SPLITS:
         os.makedirs(os.path.join(OUT, split), exist_ok=True)
-        os.makedirs(os.path.join(OUT, f"spp_{SPP}", split), exist_ok=True)
+        if not GT_ONLY:
+            # only a trainable kit carries the noisy aux-buf directory;
+            # an empty spp_<N>/ would make a GT-only kit look trainable
+            os.makedirs(os.path.join(OUT, f"spp_{SPP}", split),
+                        exist_ok=True)
         frames = []
         for i, cam in enumerate(poses[split]):
             name = f"r_{i}"
