@@ -115,6 +115,13 @@ def compress_tree_dict(z: dict, bits: int = 16, sigma_thresh: float = 2.0,
         quant_colors.append(colors.astype(np.float16))
         quant_maps.append(full_map.reshape(-1, N, N, N).astype(np.uint16))
 
+    if not quant_colors:
+        # retain >= basis_dim leaves nothing to quantize: keep the tree
+        # uncompressed rather than emit empty codebooks the decoder
+        # (n3tree.cpp:279-340 parity) has no layout for
+        print(f"retain={retain} >= basis_dim={basis_dim}: nothing to "
+              "quantize; tree left uncompressed", file=sys.stderr)
+        return dict(z, data=data)
     z["quant_colors"] = np.stack(quant_colors)
     z["quant_map"] = np.stack(quant_maps)
     z["sigma"] = sigma.astype(np.float16).reshape(-1, N, N, N)

@@ -230,7 +230,33 @@ def load_obj(path_or_str: str, from_string: bool = False) -> Mesh:
                 m.vert[vi, 6:9] = nrm[ni]
     else:
         estimate_normals(m)
+    if not from_string:
+        _apply_offs_sidecar(m, path_or_str)
     return m
+
+
+def _apply_offs_sidecar(m: Mesh, obj_path: str) -> None:
+    """Auto offset from a ``<mesh>.obj.offs`` sidecar: whitespace-separated
+    ``tx ty tz [scale]`` applied to the mesh transform at load time
+    (main.cpp:448-465).  A malformed translation leaves the mesh untouched;
+    a present translation with a missing/malformed scale keeps scale=1
+    (the reference's stream-state semantics)."""
+    try:
+        toks = open(obj_path + ".offs").read().split()
+    except OSError:
+        return
+    try:
+        t = np.asarray([float(x) for x in toks[:3]], np.float32)
+    except ValueError:
+        return
+    if t.shape[0] != 3:
+        return
+    m.translation = t
+    if len(toks) >= 4:
+        try:
+            m.scale = float(toks[3])
+        except ValueError:
+            pass
 
 
 # ---------------------------------------------------------------------------

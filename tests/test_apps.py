@@ -45,6 +45,32 @@ f 2 4 3
     np.testing.assert_allclose(np.abs(m.vert[:3, 8]), 1.0, atol=1e-5)
 
 
+def test_obj_offs_sidecar(tmp_path):
+    """<mesh>.obj.offs auto-offset: 'tx ty tz [scale]' applied at load
+    (main.cpp:448-465); malformed sidecars leave the defaults."""
+    obj = "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n"
+    path = tmp_path / "t.obj"
+    path.write_text(obj)
+
+    (tmp_path / "t.obj.offs").write_text("0.5 -1.0 2.0 3.0")
+    m = M.load_obj(str(path))
+    np.testing.assert_allclose(m.translation, [0.5, -1.0, 2.0])
+    assert m.scale == 3.0
+    # transform applies translation+scale to world-space verts
+    np.testing.assert_allclose(m.transformed_positions()[0],
+                               [0.5, -1.0, 2.0], atol=1e-6)
+
+    (tmp_path / "t.obj.offs").write_text("0.5 -1.0 2.0")
+    m = M.load_obj(str(path))
+    np.testing.assert_allclose(m.translation, [0.5, -1.0, 2.0])
+    assert m.scale == 1.0
+
+    (tmp_path / "t.obj.offs").write_text("not a number")
+    m = M.load_obj(str(path))
+    np.testing.assert_allclose(m.translation, [0, 0, 0])
+    assert m.scale == 1.0
+
+
 def test_drawlist_roundtrip(tmp_path):
     path = str(tmp_path / "cams.draw.npz")
     t = np.array([[0, 0, 1], [1, 0, 1], [2, 0, 1]], np.float64)
