@@ -410,6 +410,56 @@ def llff_scene_fps(net_cfg, net_params):
     return fps, qual, extra
 
 
+def quant_fidelity():
+    """Quantized-color decode exercised through the bench flow
+    (n3tree.cpp:279-340 parity): compress a shell tree with the
+    median-cut CLI (apps/compress.py), render float and quantized trees
+    at the same pose/RNG, report PSNR(quant vs float) + size ratio.
+    Depth 7 keeps the median cut to seconds (the full d9 tree takes
+    ~11 min on the bench host; same code path).  RT_BENCH_QUANT=0 skips."""
+    if os.environ.get("RT_BENCH_QUANT", "1") != "1":
+        return None
+    import numpy as np
+    from rt_octree_tpu.apps.compress import main as compress_main
+    from rt_octree_tpu.core.camera import Camera
+    from rt_octree_tpu.core.options import RenderOptions
+    from rt_octree_tpu.io import n3tree, synthetic
+    from rt_octree_tpu.ops.traversal import upload_tree
+    from rt_octree_tpu.render.renderer import Renderer
+
+    depth = int(os.environ.get("RT_BENCH_QUANT_DEPTH", "7"))
+    src = os.path.join(CACHE, f"shell_d{depth}_sh9.npz")
+    if not os.path.exists(src):
+        tree = synthetic.make_synthetic_tree("shell", depth=depth,
+                                             basis_dim=9)
+        synthetic.save_npz(tree, src)
+    qdir = os.path.join(CACHE, "quant")
+    qpath = os.path.join(qdir, os.path.basename(src))
+    if not os.path.exists(qpath):
+        t0 = time.time()
+        compress_main([src, "--out_dir", qdir, "--retain", "1"])
+        print(f"[bench] quant compress: {time.time()-t0:.0f}s",
+              file=sys.stderr)
+    size = int(os.environ.get("RT_BENCH_QUANT_RES", "256"))
+    cam = Camera(width=size, height=size)
+    opt = RenderOptions(spp=6, denoise=False)
+    imgs = {}
+    for label, path in (("float", src), ("quant", qpath)):
+        t = n3tree.load(path)
+        r = Renderer(upload_tree(t, lut_levels=min(7, t.max_depth)),
+                     size, size, cam.fx, cam.fy, options=opt)
+        imgs[label] = np.asarray(r.render(cam.transform,
+                                          want_aux=False)[0])
+    mse = float(np.mean((imgs["float"][..., :3]
+                         - imgs["quant"][..., :3]) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-12))
+    ratio = os.path.getsize(qpath) / os.path.getsize(src)
+    print(f"[bench] quantized d{depth} shell: PSNR vs float "
+          f"{psnr:.2f} dB, bytes ratio {ratio:.3f}", file=sys.stderr)
+    return {"depth": depth, "psnr_vs_float": round(psnr, 2),
+            "bytes_ratio": round(ratio, 4)}
+
+
 def main():
     import jax
     # Make JAX_PLATFORMS authoritative (the site hook registers the
@@ -576,6 +626,7 @@ def main():
     fps_solid, qual_solid, extra_solid = solid
     fps_llff, qual_llff, extra_llff = llff
     fps_tt, qual_tt = tt
+    quant = _soft(quant_fidelity)
 
     out = {
         "metric": "fps_800x800_spp6_denoise_shell_d9",
@@ -601,6 +652,8 @@ def main():
         out["fps_tt_1920x1080"] = round(fps_tt, 3)
     if qual_tt is not None:
         out["quality_tt"] = qual_tt
+    if quant is not None:
+        out["quant"] = quant
     print(json.dumps(out))
 
 

@@ -44,7 +44,13 @@ from ..utils.rng import pcg32_uniforms_range
 # rt_core.cuh:208-214 semantics): when the tree projects onto a
 # minority of the frame (real capture poses with margins), the DP
 # places an entry compaction and the whole march runs pre-culled.
-CHECKPOINTS = (0, 1, 2, 3, 4, 6, 8, 11, 16, 22, 30, 40, 52, 70)
+# The deep tail (100..330) exists for scenes whose survivor curve keeps
+# falling past step 70 -- the LLFF/NDC blobs regime measured (round 4,
+# tools/llff_diag.py) median 22 but p90 236 steps/ray: without tail
+# checkpoints the DP leaves the drain at ~0.5R width for ~110 brick
+# rounds, the dominant cost of the 1911 ms round-3 LLFF frame.
+CHECKPOINTS = (0, 1, 2, 3, 4, 6, 8, 11, 16, 22, 30, 40, 52, 70,
+               100, 140, 190, 250, 330)
 # boundaries at/after this thin-step count use the brick body
 BRICK_FROM = 14
 # brick sub-steps per round (t_in=4 measured best in-jit everywhere)
