@@ -328,6 +328,8 @@ def tt_scene_fps(net_cfg, net_params):
     + auto-tuned schedule.  Returns FPS or None (RT_BENCH_TT=0 skips)."""
     if os.environ.get("RT_BENCH_TT", "1") != "1":
         return None
+    import jax
+    import jax.numpy as jnp
     from rt_octree_tpu.core.camera import Camera
     from rt_octree_tpu.core.options import RenderOptions
     from rt_octree_tpu.ops.traversal import upload_tree
@@ -353,8 +355,20 @@ def tt_scene_fps(net_cfg, net_params):
     # falls back to the solid kit's net while no tt-trained kit exists
     scene_denoiser(r, "tt", net_cfg, net_params, fallbacks=("solid",))
     fps = _timed_fps(r, cam.transform, f"tt-resolution scene ({W}x{H})")
+    extra = {}
+    if not r.denoise_recommended:
+        extra["tt_denoise_recommended"] = False
+        r.options.denoise = False
+        extra["fps_tt_denoise_off"] = round(_timed_fps(
+            r, cam.transform, "tt scene (advised denoise-off)"), 3)
+        r.options.denoise = True
+    if s == 1.0:
+        checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
+        mp = _kit_multipose_fps(r, scene_kits("tt"), "tt", checksum)
+        if mp is not None:
+            extra["fps_tt_multipose"] = round(mp, 3)
     qual = _soft_quality(r, scene_kits("tt"), "tt") if s == 1.0 else None
-    return fps, qual
+    return fps, qual, extra
 
 
 def llff_scene_fps(net_cfg, net_params):
@@ -402,11 +416,16 @@ def llff_scene_fps(net_cfg, net_params):
     scene_denoiser(r, "blobs", net_cfg, net_params)
     fps = _timed_fps(r, cam.transform, f"llff ndc scene ({W}x{H})")
     extra = {}
-    checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
-    mp = _kit_multipose_fps(r, scene_kits("blobs"), "llff", checksum)
-    if mp is not None:
-        extra["fps_llff_multipose"] = round(mp, 3)
-    qual = _soft_quality(r, scene_kits("blobs"), "llff")
+    # quality/multipose need the committed full-resolution GT kit, so
+    # they only run at scale 1 (a scaled smoke render can't be compared
+    # against 1008x756 GT images)
+    if s == 1.0:
+        checksum = jax.jit(lambda x: jnp.sum(x[::97, ::89]))
+        mp = _kit_multipose_fps(r, scene_kits("blobs"), "llff", checksum)
+        if mp is not None:
+            extra["fps_llff_multipose"] = round(mp, 3)
+    qual = _soft_quality(r, scene_kits("blobs"), "llff") if s == 1.0 \
+        else None
     return fps, qual, extra
 
 
@@ -622,10 +641,10 @@ def main():
              or (None, None, {}))
     llff = (_soft(llff_scene_fps, r.net_cfg, r.net_params)
             or (None, None, {}))
-    tt = _soft(tt_scene_fps, r.net_cfg, r.net_params) or (None, None)
+    tt = _soft(tt_scene_fps, r.net_cfg, r.net_params) or (None, None, {})
     fps_solid, qual_solid, extra_solid = solid
     fps_llff, qual_llff, extra_llff = llff
-    fps_tt, qual_tt = tt
+    fps_tt, qual_tt, extra_tt = tt
     quant = _soft(quant_fidelity)
 
     out = {
@@ -652,6 +671,7 @@ def main():
         out["fps_tt_1920x1080"] = round(fps_tt, 3)
     if qual_tt is not None:
         out["quality_tt"] = qual_tt
+    out.update(extra_tt)
     if quant is not None:
         out["quant"] = quant
     print(json.dumps(out))

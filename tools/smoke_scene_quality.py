@@ -7,7 +7,7 @@ held-out poses — validating the whole per-scene quality chain
 (kit layout -> scene denoiser -> metrics) off-device before any TPU
 bench spends tunnel time on it.
 
-Run: JAX_PLATFORMS=cpu python tools/smoke_scene_quality.py [solid|blobs]
+Run: JAX_PLATFORMS=cpu python tools/smoke_scene_quality.py [solid|tt|blobs]
 Env: SQ_POSES (default 2) limits the pose count for speed.
 """
 
@@ -42,6 +42,9 @@ def main():
     if scene == "solid":
         W = H = 800
         focal = None
+        tree = bench.get_tree("solid")
+    elif scene == "tt":
+        W, H, focal = 1920, 1080, 1158.0
         tree = bench.get_tree("solid")
     elif scene == "blobs":
         W, H, focal = 1008, 756, 800.0
