@@ -53,8 +53,20 @@ CHECKPOINTS = (0, 1, 2, 3, 4, 6, 8, 11, 16, 22, 30, 40, 52, 70,
                100, 140, 190, 250, 330)
 # boundaries at/after this thin-step count use the brick body
 BRICK_FROM = 14
-# brick sub-steps per round (t_in=4 measured best in-jit everywhere)
+# brick sub-steps per round: t_in=4 measured best in-jit on the
+# orbit-scene survivor curves (shell/solid, round 3), but long-tail
+# regimes spend most rounds stepping WITHIN a brick, where more
+# sub-steps per 520B brick gather amortize the fetch: the LLFF/NDC
+# frame measured 1560/1102/1544 ms at t_in 4/8/12 (round 4,
+# tools/round4_llff_tin.py) -- a 1.42x win at 8, non-monotonic (12
+# overshoots brick exits).  derive_schedule switches to 8 when the
+# probed survivor curve still carries >TAIL_FRAC of rays at
+# checkpoint TAIL_CP (true for LLFF ~10%, false for shell ~1.5% and
+# solid ~0%).
 T_IN_MID, T_IN_DRAIN = 4, 4
+T_IN_TAIL = 8
+TAIL_CP = 100
+TAIL_FRAC = 0.03
 # estimated drain rounds beyond the last checkpoint (cost model only)
 DRAIN_ROUNDS = 60.0
 # extra thin steps the probe marches past the last checkpoint before
@@ -161,6 +173,14 @@ def derive_schedule(fracs: np.ndarray, margin: float = 1.4,
     fracs = np.asarray(fracs, np.float64)
     cps = np.asarray(checkpoints, np.float64)
     n = len(cps)
+    # long-tail regime detection for the brick t_in choice (see the
+    # T_IN_TAIL comment above): survivors at the first checkpoint at or
+    # past TAIL_CP
+    i_tail = int(np.searchsorted(cps, TAIL_CP))
+    t_brick = T_IN_MID
+    t_drain = T_IN_DRAIN
+    if i_tail < n and fracs[i_tail] > TAIL_FRAC:
+        t_brick = t_drain = T_IN_TAIL
     if fracs.shape[0] >= 2 * n:  # probe with the dead-with-hits curve
         deadcum = np.concatenate([[0.0], fracs[n:2 * n]])  # node-indexed
     else:  # legacy probe layout: conservative flat default
@@ -234,7 +254,13 @@ def derive_schedule(fracs: np.ndarray, margin: float = 1.4,
                 # re-derived conservative caps measured WORSE on both
                 # bench scenes: tools/round3_exp6.py)
                 rounds = max(int(np.ceil(seg / 1.5)), 1)
-                st = (rounds * T_IN_MID, prev_div, "brick", T_IN_MID)
+                # plan total sub-steps with the measured t_in=4 mapping,
+                # then repack them into t_brick-wide rounds (the exact
+                # configuration the round-4 LLFF A/B measured): same
+                # cell-step budget, fewer brick gathers per ray
+                steps = rounds * T_IN_MID
+                steps = int(np.ceil(steps / t_brick)) * t_brick
+                st = (steps, prev_div, "brick", t_brick)
             else:
                 st = (int(seg), prev_div, "thin", T_IN_MID)
             stages.append(st if dd is None else st + (dd,))
@@ -242,7 +268,7 @@ def derive_schedule(fracs: np.ndarray, margin: float = 1.4,
         prev_div = min(float(1.0 / wid[j]), max_divisor)
         j_before, j_entry = j_entry, j
     dd = dead_div_at(j_entry, j_before)
-    drain = (0, prev_div, "brick", T_IN_DRAIN)
+    drain = (0, prev_div, "brick", t_drain)
     stages.append(drain if dd is None else drain + (dd,))
     return tuple(stages)
 

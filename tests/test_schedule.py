@@ -46,12 +46,12 @@ def test_probe_and_derive(scene):
     cum = 0.0
     for (steps, div, kind, t_in, _dd), (nsteps, ndiv, *_r) in zip(
             sched, sched[1:]):
-        cum += steps if kind == "thin" else steps / 4 * 1.5
+        cum += steps if kind == "thin" else steps / t_in * 1.5
         # survivor frac at the nearest probed checkpoint <= cum
         idx = max([i for i, cp in enumerate(CHECKPOINTS) if cp <= cum],
                   default=0)
         assert fracs[idx] <= 1.0 / ndiv + 1e-6
-    assert sched[-1][0] == 0 and sched[-1][3] == 4  # drain stage
+    assert sched[-1][0] == 0 and sched[-1][3] in (4, 8)  # drain stage
 
     sched2 = auto_schedule(dt, cam.transform, opt, 80.0, 80.0, 64, 64,
                            probe_res=32)
@@ -169,4 +169,41 @@ def test_entry_cull_boundary_for_small_projection(scene):
                        schedule=sched, shade_cap_div=shade_div)
     img0 = np.asarray(r_def.render(cam.transform)[0])
     img1 = np.asarray(r_tuned.render(cam.transform)[0])
+    np.testing.assert_allclose(img1, img0, atol=2e-6)
+
+
+def test_long_tail_curve_selects_wide_t_in():
+    """A probed survivor curve that still carries rays past checkpoint
+    100 (the LLFF/NDC regime) must select t_in=8 brick rounds -- the
+    round-4 A/B measured 1560/1102/1544 ms at t_in 4/8/12 there
+    (tools/round4_llff_tin.py); orbit-style fast-decay curves keep the
+    measured-best t_in=4."""
+    from rt_octree_tpu.render.schedule import CHECKPOINTS, derive_schedule
+
+    cps = np.asarray(CHECKPOINTS, np.float64)
+    tail = np.exp(-cps / 140.0)  # ~10% alive at cp 100
+    s_tail = derive_schedule(np.concatenate([tail, 1 - tail, [0.9]]))
+    assert all(t == 8 for _, _, k, t, *_ in s_tail if k == "brick"), s_tail
+    fast = np.exp(-cps / 20.0)  # ~0.7% alive at cp 100
+    s_fast = derive_schedule(np.concatenate([fast, 1 - fast, [0.3]]))
+    assert all(t == 4 for _, _, k, t, *_ in s_fast if k == "brick"), s_fast
+
+
+def test_t_in_8_schedule_render_exact(scene):
+    """t_in changes how many brick sub-steps share one gathered brick --
+    never the step semantics: a handmade t_in=8 schedule must render
+    bit-near the default."""
+    from rt_octree_tpu.render.renderer import Renderer
+
+    tree, dt = scene
+    W = H = 40
+    cam = Camera(width=W, height=H, fx=50.0, fy=50.0)
+    opt = RenderOptions(spp=2, denoise=False)
+    wide = ((4, 1.0, "thin"), (8, 1.5, "thin"), (16, 2.0, "brick", 8),
+            (0, 3.0, "brick", 8))
+    r_def = Renderer(dt, W, H, 50.0, 50.0, options=opt, max_steps=512)
+    r_wide = Renderer(dt, W, H, 50.0, 50.0, options=opt, max_steps=512,
+                      schedule=wide)
+    img0 = np.asarray(r_def.render(cam.transform)[0])
+    img1 = np.asarray(r_wide.render(cam.transform)[0])
     np.testing.assert_allclose(img1, img0, atol=2e-6)

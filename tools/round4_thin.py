@@ -103,10 +103,13 @@ def main():
             return (active, t, src, sppc, shn, recs)
         return fori(body, state)[1]
 
+    # IMPORTANT: every variant takes the DeviceTree as a jit ARGUMENT --
+    # closing over it bakes the ~1 GB LUT into the uploaded HLO and the
+    # tunnel's remote_compile rejects the body (HTTP 413)
     @jax.jit
-    def v_gather(consts, state):
+    def v_gather(dtree, consts, state):
         (cen_t, d_t, invdir, delta_scale, dstv, tmax) = consts
-        res = dt.N ** dt.lut_levels
+        res = dtree.N ** dtree.lut_levels
 
         def body(st):
             (active, t, src, sppc, shn, recs) = st
@@ -114,7 +117,7 @@ def main():
             cell = jnp.clip(jnp.floor(pos * res).astype(jnp.int32), 0,
                             res - 1)
             flat = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
-            row = jnp.take(dt.lut, jnp.where(active, flat, 0), axis=0)
+            row = jnp.take(dtree.lut, jnp.where(active, flat, 0), axis=0)
             # data-dependent t advance keeps the gather chain serial
             t = jnp.where(active,
                           t + jnp.float32(1e-3) +
@@ -122,24 +125,22 @@ def main():
             return (active, t, src, sppc, shn, recs)
         return fori(body, state)[1]
 
-    def make_decode(dtree):
-        @jax.jit
-        def v_decode(consts, state):
-            (cen_t, d_t, invdir, delta_scale, dstv, tmax) = consts
+    @jax.jit
+    def v_decode(dtree, consts, state):
+        (cen_t, d_t, invdir, delta_scale, dstv, tmax) = consts
 
-            def body(st):
-                (active, t, src, sppc, shn, recs) = st
-                pos = cen_t + t[:, None] * d_t
-                sub_ptr, sigma, t_sub = RR._query_step(dtree, pos,
-                                                       invdir, active)
-                t = jnp.where(active, t + t_sub + jnp.float32(1e-4), t)
-                active = active & (t < tmax)
-                return (active, t, src, sppc, shn, recs)
-            return fori(body, state)[1]
-        return v_decode
+        def body(st):
+            (active, t, src, sppc, shn, recs) = st
+            pos = cen_t + t[:, None] * d_t
+            sub_ptr, sigma, t_sub = RR._query_step(dtree, pos,
+                                                   invdir, active)
+            t = jnp.where(active, t + t_sub + jnp.float32(1e-4), t)
+            active = active & (t < tmax)
+            return (active, t, src, sppc, shn, recs)
+        return fori(body, state)[1]
 
     @jax.jit
-    def v_crossing(consts, state):
+    def v_crossing(dtree, consts, state):
         (cen_t, d_t, invdir, delta_scale, dstv, tmax) = consts
         sigma_thresh = jnp.float32(opt.sigma_thresh)
         step_size = jnp.float32(opt.step_size)
@@ -147,7 +148,7 @@ def main():
         def body(st):
             (active, t, src, sppc, shn, recs) = st
             pos = cen_t + t[:, None] * d_t
-            sub_ptr, sigma, t_sub = RR._query_step(dt, pos, invdir,
+            sub_ptr, sigma, t_sub = RR._query_step(dtree, pos, invdir,
                                                    active)
             delta_t = t_sub + step_size
             has_sigma = (sigma > sigma_thresh) & active
@@ -168,20 +169,21 @@ def main():
         return fori(body, state)
 
     @jax.jit
-    def v_full(consts, state):
+    def v_full(dtree, consts, state):
         def body(st):
-            return RR._march_body(dt, opt, spp, consts, st)
+            return RR._march_body(dtree, opt, spp, consts, st)
         return fori(body, state)
 
     timeit(v_tsum, consts, state, label="tsum (state round-trip only)")
-    timeit(v_gather, consts, state, label="+ index math + LUT gather")
-    timeit(make_decode(dt), consts, state,
+    timeit(v_gather, dt, consts, state,
+           label="+ index math + LUT gather")
+    timeit(v_decode, dt, consts, state,
            label="+ decode + skip + DDA (_query_step)")
-    timeit(make_decode(dt_noskip), consts, state,
+    timeit(v_decode, dt_noskip, consts, state,
            label="  same, skip_cap=0")
-    timeit(v_crossing, consts, state,
+    timeit(v_crossing, dt, consts, state,
            label="+ crossing math (no record write)")
-    timeit(v_full, consts, state, label="full _march_body")
+    timeit(v_full, dt, consts, state, label="full _march_body")
     print("DONE", flush=True)
 
 
