@@ -33,7 +33,13 @@ class DeviceTree:
     so jit re-specializes per tree topology class.
     """
 
-    data: jax.Array  # [M, data_dim] f16
+    # shading data rows: f16 trees are stored PAIR-PACKED as
+    # [M, ceil(data_dim/2)] f32 (two f16 lanes bitcast per f32 lane) --
+    # halving the gathered lane count measured ~9% cheaper per row at
+    # large tables (tools/round4_gather2.py); read through
+    # take_data_rows, never jnp.take directly.  Non-f16 trees keep the
+    # raw [M, data_dim] layout (data_paired=False).
+    data: jax.Array  # [M, P] f32 paired, or [M, data_dim] raw
     child: jax.Array  # [M] i32
     sigma: jax.Array  # [M] f16 (compact copy of data[:, -1])
     # fused march rows: one 8-byte gather yields (link, sigma) --
@@ -74,6 +80,8 @@ class DeviceTree:
     skip_cap: int = flax.struct.field(pytree_node=False, default=0)
     # (width, height, focal) or None
     ndc: Optional[tuple] = flax.struct.field(pytree_node=False, default=None)
+    # data rows are f16-pair-packed into f32 lanes (see ``data``)
+    data_paired: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def N3(self) -> int:
@@ -388,8 +396,17 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
         lut_dev = _add_skip_distances(
             lut_dev, res=tree.N ** eff_levels, cap=skip_cap)
         eff_skip = skip_cap
+    data_np = tree.data
+    data_paired = data_np.dtype == np.float16
+    if data_paired:
+        dd = data_np.shape[-1]
+        if dd % 2:  # pad to an even lane count for the f32 pairing
+            data_np = np.concatenate(
+                [data_np, np.zeros((data_np.shape[0], 1), np.float16)],
+                axis=1)
+        data_np = np.ascontiguousarray(data_np).view(np.float32)
     return DeviceTree(
-        data=put(tree.data),
+        data=put(data_np),
         child=put(tree.child),
         sigma=put(sigma_np),
         chs=chs_dev,
@@ -408,7 +425,21 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
         brick_indirect=brick_indirect,
         skip_cap=eff_skip,
         ndc=ndc,
+        data_paired=data_paired,
     )
+
+
+def take_data_rows(tree: DeviceTree, idx) -> jnp.ndarray:
+    """Gather shading data rows by leaf index -> [len(idx), data_dim]
+    f32, decoding the f16-pair-packed layout when present (the packed
+    gather moves 14 f32 lanes instead of 28 f16 lanes per row --
+    measured ~9% cheaper at large tables, tools/round4_gather2.py; the
+    bitcast decode fuses into the consumer)."""
+    rows = jnp.take(tree.data, idx, axis=0)
+    if tree.data_paired:
+        h = jax.lax.bitcast_convert_type(rows, jnp.float16)
+        rows = h.reshape(rows.shape[0], -1)[:, :tree.data_dim]
+    return rows.astype(jnp.float32)
 
 
 def tree_query_full(tree: DeviceTree, pos: jnp.ndarray, active=None,

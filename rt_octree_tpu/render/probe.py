@@ -13,7 +13,7 @@ import numpy as np
 
 from ..io.n3tree import BasisFormat
 from ..ops.sh import eval_asg_basis, eval_sg_basis, eval_sh_basis
-from ..ops.traversal import DeviceTree, tree_query
+from ..ops.traversal import DeviceTree, take_data_rows, tree_query
 
 
 def retrieve_cursor_lumisphere(tree: DeviceTree, probe_xyz) -> jnp.ndarray:
@@ -21,8 +21,8 @@ def retrieve_cursor_lumisphere(tree: DeviceTree, probe_xyz) -> jnp.ndarray:
     probe point."""
     p = tree.offset + tree.scale * jnp.asarray(probe_xyz, jnp.float32)
     sub_ptr, _, _ = tree_query(tree, p[None, :])
-    vals = jnp.take(tree.data, sub_ptr, axis=0)[0]
-    return vals[:tree.data_dim - 1].astype(jnp.float32)
+    vals = take_data_rows(tree, sub_ptr)[0]
+    return vals[:tree.data_dim - 1]
 
 
 def apply_probe_overlay(img: jnp.ndarray, tree: DeviceTree, transform,

@@ -33,7 +33,8 @@ from ..models.guidance_net import GuidanceNetCompact, GuidanceNetConfig
 from ..ops.filtering import guided_filter
 from ..ops.sh import eval_asg_basis, eval_sg_basis, eval_sh_basis
 from ..ops.traversal import (
-    LUT_DEPTH_SENTINEL, LUT_PTR_BITS, DeviceTree, tree_query_full)
+    LUT_DEPTH_SENTINEL, LUT_PTR_BITS, DeviceTree, take_data_rows,
+    tree_query_full)
 from ..utils.rng import Pcg32, pcg32_uniforms_range
 
 
@@ -762,8 +763,8 @@ def _shade_rows(tree: DeviceTree, vdirs_rows, recs_rows, valid_f, opt,
     leafs, cnts = _recs_split(recs_rows, spp)
     w = jnp.where(cnts > 0, cnts, 0.0) * valid_f[:, None]
     alpha = jnp.sum(w, axis=1) / spp
-    vals = jnp.take(tree.data, leafs.reshape(-1), axis=0).reshape(
-        M, spp, tree.data_dim).astype(jnp.float32)
+    vals = take_data_rows(tree, leafs.reshape(-1)).reshape(
+        M, spp, tree.data_dim)
     if tree.basis_dim >= 0:
         basis = _eval_masked_basis(tree, vdirs_rows, opt)
         coeffs = vals[..., :3 * tree.basis_dim].reshape(
@@ -959,7 +960,7 @@ def _eval_masked_basis(tree: DeviceTree, vdirs, opt):
 def _leaf_rgb(tree: DeviceTree, leaf_idx, basis_rows):
     """sigmoid(SH(vdir) . coeffs) per gathered leaf (rt_core.cuh:286-317);
     leaf_idx [M], basis_rows [M, basis_dim] -> [M, 3]."""
-    vals = jnp.take(tree.data, leaf_idx, axis=0).astype(jnp.float32)
+    vals = take_data_rows(tree, leaf_idx)
     if tree.basis_dim >= 0:
         coeffs = vals[:, :3 * tree.basis_dim].reshape(
             -1, 3, tree.basis_dim)
@@ -1018,8 +1019,8 @@ def _shade(tree: DeviceTree, vdirs, recs, opt: RenderOptions,
         recs_h = jnp.take(recs, hc, axis=0)
         leafs_h, cnts_h = _recs_split(recs_h, spp)
         w_h = jnp.where(cnts_h > 0, cnts_h, 0.0) * valid[:, None]
-        vals = jnp.take(tree.data, leafs_h.reshape(-1), axis=0).reshape(
-            caph, spp, tree.data_dim).astype(jnp.float32)
+        vals = take_data_rows(tree, leafs_h.reshape(-1)).reshape(
+            caph, spp, tree.data_dim)
         if tree.basis_dim >= 0:
             vdirs_h = jnp.take(vdirs, hc, axis=0)
             basis_h = _eval_masked_basis(tree, vdirs_h, opt)
@@ -1039,8 +1040,8 @@ def _shade(tree: DeviceTree, vdirs, recs, opt: RenderOptions,
         basis = (_eval_masked_basis(tree, vdirs, opt)
                  if tree.basis_dim >= 0
                  else jnp.zeros((R, 0), jnp.float32))
-        vals = jnp.take(tree.data, leafs.reshape(-1), axis=0).reshape(
-            R, spp, tree.data_dim).astype(jnp.float32)
+        vals = take_data_rows(tree, leafs.reshape(-1)).reshape(
+            R, spp, tree.data_dim)
         if tree.basis_dim >= 0:
             coeffs = vals[..., :3 * tree.basis_dim].reshape(
                 R, spp, 3, tree.basis_dim)

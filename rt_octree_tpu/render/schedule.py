@@ -273,11 +273,18 @@ def derive_schedule(fracs: np.ndarray, margin: float = 1.4,
     return tuple(stages)
 
 
-def derive_shade_div(hit_frac: float, margin: float = 1.5,
+def derive_shade_div(hit_frac: float, margin: float = 1.25,
                      max_div: int = 16) -> int:
     """Hit-ray upper-bound fraction -> shade compaction divisor (the
     [R // div, spp] hit-compact cap in renderer._shade); conservative
-    floor of 4 matches the untuned default's worst-case assumption."""
+    floor of 4 matches the untuned default's worst-case assumption.
+
+    The probed fraction is already an UPPER bound (recorded hits plus
+    every still-alive ray after 442 thin steps), and the bench shell
+    measured it within ~5% of the true hit count -- margin 1.25 keeps
+    the [cap_h, spp] shading gather (the shade cost driver, ~30 ns/row
+    at large tables) tight while an overflow pose still only costs the
+    exact dense fallback."""
     div = int(1.0 / max(float(hit_frac) * margin, 1.0 / max_div))
     return int(np.clip(div, 1, max_div))
 

@@ -127,7 +127,7 @@ def test_shade_cap_div_matches_default(scene):
         imgs.append(np.asarray(r.render(cam.transform)[0]))
     np.testing.assert_allclose(imgs[1], imgs[0], atol=2e-6)
     np.testing.assert_allclose(imgs[2], imgs[0], atol=2e-6)
-    assert derive_shade_div(0.11) == 6
+    assert derive_shade_div(0.11) == 7
     assert derive_shade_div(0.5) == 1
     assert derive_shade_div(0.001) == 16
 

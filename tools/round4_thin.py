@@ -140,6 +140,63 @@ def main():
         return fori(body, state)[1]
 
     @jax.jit
+    def v_idx(consts, state):
+        """Index math ONLY (no LUT gather): pos/cell/flat on [R,3]."""
+        (cen_t, d_t, invdir, delta_scale, dstv, tmax) = consts
+        res = dt.N ** dt.lut_levels
+
+        def body(st):
+            (active, t, src, sppc, shn, recs) = st
+            pos = jnp.clip(cen_t + t[:, None] * d_t, 0.0, 1.0 - 1e-6)
+            cell = jnp.clip(jnp.floor(pos * res).astype(jnp.int32), 0,
+                            res - 1)
+            flat = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+            t = jnp.where(active,
+                          t + jnp.float32(1e-3) +
+                          (flat & 1).astype(jnp.float32) * 1e-6, t)
+            return (active, t, src, sppc, shn, recs)
+        return fori(body, state)[1]
+
+    @jax.jit
+    def v_idx_soa(consts, state):
+        """Index math with [3, R] layout (rays on the 128-lane axis)."""
+        (cen_t, d_t, invdir, delta_scale, dstv, tmax) = consts
+        res = dt.N ** dt.lut_levels
+        cen_T, d_T = cen_t.T, d_t.T  # [3, R]
+
+        def body(st):
+            (active, t, src, sppc, shn, recs) = st
+            pos = jnp.clip(cen_T + t[None, :] * d_T, 0.0, 1.0 - 1e-6)
+            cell = jnp.clip(jnp.floor(pos * res).astype(jnp.int32), 0,
+                            res - 1)
+            flat = (cell[0] * res + cell[1]) * res + cell[2]
+            t = jnp.where(active,
+                          t + jnp.float32(1e-3) +
+                          (flat & 1).astype(jnp.float32) * 1e-6, t)
+            return (active, t, src, sppc, shn, recs)
+        return fori(body, state)[1]
+
+    @jax.jit
+    def v_gather_soa(dtree, consts, state):
+        """SoA index math + the LUT row gather."""
+        (cen_t, d_t, invdir, delta_scale, dstv, tmax) = consts
+        res = dtree.N ** dtree.lut_levels
+        cen_T, d_T = cen_t.T, d_t.T
+
+        def body(st):
+            (active, t, src, sppc, shn, recs) = st
+            pos = jnp.clip(cen_T + t[None, :] * d_T, 0.0, 1.0 - 1e-6)
+            cell = jnp.clip(jnp.floor(pos * res).astype(jnp.int32), 0,
+                            res - 1)
+            flat = (cell[0] * res + cell[1]) * res + cell[2]
+            row = jnp.take(dtree.lut, jnp.where(active, flat, 0), axis=0)
+            t = jnp.where(active,
+                          t + jnp.float32(1e-3) +
+                          (row[:, 0] & 1).astype(jnp.float32) * 1e-6, t)
+            return (active, t, src, sppc, shn, recs)
+        return fori(body, state)[1]
+
+    @jax.jit
     def v_crossing(dtree, consts, state):
         (cen_t, d_t, invdir, delta_scale, dstv, tmax) = consts
         sigma_thresh = jnp.float32(opt.sigma_thresh)
@@ -169,20 +226,139 @@ def main():
         return fori(body, state)
 
     @jax.jit
+    def v_crossing_T(dtree, consts, state):
+        """Crossing math with the [R, spp] threshold table TRANSPOSED to
+        [spp, R] (rays on the 128-lane axis; [R, 6] puts 6 lanes of 128
+        to work on every compare)."""
+        (cen_t, d_t, invdir, delta_scale, dstv, tmax) = consts
+        dstT = dstv.T  # [spp, R]
+        sigma_thresh = jnp.float32(opt.sigma_thresh)
+        step_size = jnp.float32(opt.step_size)
+
+        def body(st):
+            (active, t, src, sppc, shn, recs) = st
+            pos = cen_t + t[:, None] * d_t
+            sub_ptr, sigma, t_sub = RR._query_step(dtree, pos, invdir,
+                                                   active)
+            delta_t = t_sub + step_size
+            has_sigma = (sigma > sigma_thresh) & active
+            delta = jnp.where(has_sigma,
+                              delta_t * delta_scale * sigma, 0.0)
+            s_new = src + delta
+            n_leq = jnp.sum((dstT <= s_new[None, :]).astype(jnp.int32),
+                            axis=0)
+            c = jnp.maximum(n_leq - sppc, 0)
+            rec = has_sigma & (c > 0)
+            shn = shn + rec.astype(jnp.int32)
+            sppc = sppc + jnp.where(rec, c, 0)
+            src = jnp.where(has_sigma, s_new, src)
+            t = jnp.where(active, t + delta_t, t)
+            active = active & (t < tmax) & (sppc < spp)
+            return (active, t, src, sppc, shn, recs)
+        return fori(body, state)
+
+    @jax.jit
+    def v_crossing_barrier(dtree, consts, state):
+        """Full crossing round with an optimization_barrier after the
+        LUT gather: if XLA fuses the crossing math INTO the gather's
+        per-row loop (where it runs near-scalar), the barrier forces it
+        out into vectorized elementwise kernels."""
+        (cen_t, d_t, invdir, delta_scale, dstv, tmax) = consts
+        sigma_thresh = jnp.float32(opt.sigma_thresh)
+        step_size = jnp.float32(opt.step_size)
+        res = dtree.N ** dtree.lut_levels
+
+        def body(st):
+            (active, t, src, sppc, shn, recs) = st
+            pos = jnp.clip(cen_t + t[:, None] * d_t, 0.0, 1.0 - 1e-6)
+            cell = jnp.clip(jnp.floor(pos * res).astype(jnp.int32), 0,
+                            res - 1)
+            flat = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+            row = jnp.take(dtree.lut, jnp.where(active, flat, 0), axis=0)
+            row = jax.lax.optimization_barrier(row)
+            packed = row[:, 0]
+            sigma = jax.lax.bitcast_convert_type(row[:, 1], jnp.float32)
+            # surrogate decode: sub-cell exit ~ packed parity epsilon
+            t_sub = jnp.float32(1.5e-3) + \
+                (packed & 1).astype(jnp.float32) * 1e-6
+            delta_t = t_sub + step_size
+            has_sigma = (sigma > sigma_thresh) & active
+            delta = jnp.where(has_sigma,
+                              delta_t * delta_scale * sigma, 0.0)
+            s_new = src + delta
+            n_leq = jnp.sum((dstv <= s_new[:, None]).astype(jnp.int32),
+                            axis=1)
+            c = jnp.maximum(n_leq - sppc, 0)
+            rec = has_sigma & (c > 0)
+            shn = shn + rec.astype(jnp.int32)
+            sppc = sppc + jnp.where(rec, c, 0)
+            src = jnp.where(has_sigma, s_new, src)
+            t = jnp.where(active, t + delta_t, t)
+            active = active & (t < tmax) & (sppc < spp)
+            return (active, t, src, sppc, shn, recs)
+        return fori(body, state)
+
+    @jax.jit
+    def v_crossing_nobarrier(dtree, consts, state):
+        """Same surrogate-decode round WITHOUT the barrier (control)."""
+        (cen_t, d_t, invdir, delta_scale, dstv, tmax) = consts
+        sigma_thresh = jnp.float32(opt.sigma_thresh)
+        step_size = jnp.float32(opt.step_size)
+        res = dtree.N ** dtree.lut_levels
+
+        def body(st):
+            (active, t, src, sppc, shn, recs) = st
+            pos = jnp.clip(cen_t + t[:, None] * d_t, 0.0, 1.0 - 1e-6)
+            cell = jnp.clip(jnp.floor(pos * res).astype(jnp.int32), 0,
+                            res - 1)
+            flat = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+            row = jnp.take(dtree.lut, jnp.where(active, flat, 0), axis=0)
+            packed = row[:, 0]
+            sigma = jax.lax.bitcast_convert_type(row[:, 1], jnp.float32)
+            t_sub = jnp.float32(1.5e-3) + \
+                (packed & 1).astype(jnp.float32) * 1e-6
+            delta_t = t_sub + step_size
+            has_sigma = (sigma > sigma_thresh) & active
+            delta = jnp.where(has_sigma,
+                              delta_t * delta_scale * sigma, 0.0)
+            s_new = src + delta
+            n_leq = jnp.sum((dstv <= s_new[:, None]).astype(jnp.int32),
+                            axis=1)
+            c = jnp.maximum(n_leq - sppc, 0)
+            rec = has_sigma & (c > 0)
+            shn = shn + rec.astype(jnp.int32)
+            sppc = sppc + jnp.where(rec, c, 0)
+            src = jnp.where(has_sigma, s_new, src)
+            t = jnp.where(active, t + delta_t, t)
+            active = active & (t < tmax) & (sppc < spp)
+            return (active, t, src, sppc, shn, recs)
+        return fori(body, state)
+
+    @jax.jit
     def v_full(dtree, consts, state):
         def body(st):
             return RR._march_body(dtree, opt, spp, consts, st)
         return fori(body, state)
 
     timeit(v_tsum, consts, state, label="tsum (state round-trip only)")
+    timeit(v_idx, consts, state, label="+ index math only ([R,3])")
+    timeit(v_idx_soa, consts, state, label="+ index math only ([3,R])")
     timeit(v_gather, dt, consts, state,
            label="+ index math + LUT gather")
+    timeit(v_gather_soa, dt, consts, state,
+           label="+ SoA index math + LUT gather")
     timeit(v_decode, dt, consts, state,
            label="+ decode + skip + DDA (_query_step)")
     timeit(v_decode, dt_noskip, consts, state,
            label="  same, skip_cap=0")
     timeit(v_crossing, dt, consts, state,
            label="+ crossing math (no record write)")
+    timeit(v_crossing_T, dt, consts, state,
+           label="  same, dst table [spp, R]")
+    timeit(v_crossing_nobarrier, dt, consts, state,
+           label="surrogate-decode round, fused (control)")
+    timeit(v_crossing_barrier, dt, consts, state,
+           label="surrogate-decode round + post-gather barrier")
     timeit(v_full, dt, consts, state, label="full _march_body")
     print("DONE", flush=True)
 
