@@ -23,6 +23,9 @@ from ..io.n3tree import JumpLut, N3Tree, build_jump_lut
 
 LUT_PTR_BITS = 27
 LUT_DEPTH_SENTINEL = (1 << 5) - 1  # depth field all-ones => internal node
+# opt-in f16 pair-packed data layout; measured a net loss in the real
+# shade path (see upload_tree) so it defaults off
+PAIR_PACK_DATA = False
 
 
 @flax.struct.dataclass
@@ -33,13 +36,10 @@ class DeviceTree:
     so jit re-specializes per tree topology class.
     """
 
-    # shading data rows: f16 trees are stored PAIR-PACKED as
-    # [M, ceil(data_dim/2)] f32 (two f16 lanes bitcast per f32 lane) --
-    # halving the gathered lane count measured ~9% cheaper per row at
-    # large tables (tools/round4_gather2.py); read through
-    # take_data_rows, never jnp.take directly.  Non-f16 trees keep the
-    # raw [M, data_dim] layout (data_paired=False).
-    data: jax.Array  # [M, P] f32 paired, or [M, data_dim] raw
+    # shading data rows; read through take_data_rows, never jnp.take
+    # directly (the accessor owns the optional pair-packed layout,
+    # see PAIR_PACK_DATA / upload_tree)
+    data: jax.Array  # [M, data_dim] raw, or [M, P] f32 pair-packed
     child: jax.Array  # [M] i32
     sigma: jax.Array  # [M] f16 (compact copy of data[:, -1])
     # fused march rows: one 8-byte gather yields (link, sigma) --
@@ -397,7 +397,12 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
             lut_dev, res=tree.N ** eff_levels, cap=skip_cap)
         eff_skip = skip_cap
     data_np = tree.data
-    data_paired = data_np.dtype == np.float16
+    # Pair-packing f16 rows into f32 lanes makes the bare data gather
+    # ~9% cheaper (tools/round4_gather2.py) but the in-path decode costs
+    # more than it saves: the production _shade_sbuf measured 33.3 ms
+    # raw vs 42.5 ms paired at bench widths (tools/round4_shade2.py).
+    # Kept as an opt-in for future layouts where the decode can fuse.
+    data_paired = PAIR_PACK_DATA and data_np.dtype == np.float16
     if data_paired:
         dd = data_np.shape[-1]
         if dd % 2:  # pad to an even lane count for the f32 pairing
@@ -431,10 +436,9 @@ def upload_tree(tree: N3Tree, lut_levels: int = 7,
 
 def take_data_rows(tree: DeviceTree, idx) -> jnp.ndarray:
     """Gather shading data rows by leaf index -> [len(idx), data_dim]
-    f32, decoding the f16-pair-packed layout when present (the packed
-    gather moves 14 f32 lanes instead of 28 f16 lanes per row --
-    measured ~9% cheaper at large tables, tools/round4_gather2.py; the
-    bitcast decode fuses into the consumer)."""
+    f32, decoding the opt-in f16-pair-packed layout when present
+    (PAIR_PACK_DATA; off by default -- the decode measured a net loss
+    in the production shade, tools/round4_shade2.py)."""
     rows = jnp.take(tree.data, idx, axis=0)
     if tree.data_paired:
         h = jax.lax.bitcast_convert_type(rows, jnp.float16)

@@ -50,31 +50,29 @@ def timeit(fn, *args, width, reps=8, label=""):
     return dt
 
 
-def chain2(table):
+# tables are jit ARGUMENTS -- closing over them bakes gigabytes into
+# the uploaded HLO (the remote_compile tunnel chokes; cf. round4_thin)
+@jax.jit
+def chain2(table, idx0):
     """Serial chain of ROUNDS gathers, next index = f(row) spanning the
     FULL table (multiplicative hash of the row value + position)."""
-    @jax.jit
-    def run(idx0):
-        def body(i, idx):
-            row = jnp.take(table, idx, axis=0)
-            v = row if row.ndim == 1 else row[:, 0]
-            return (idx * jnp.int32(1664525) + v
-                    + jnp.int32(1013904223)) % jnp.int32(N_ROWS)
-        return jax.lax.fori_loop(0, ROUNDS, body, idx0)
-    return run
+    def body(i, idx):
+        row = jnp.take(table, idx, axis=0)
+        v = row if row.ndim == 1 else row[:, 0]
+        return (idx * jnp.int32(1664525) + v
+                + jnp.int32(1013904223)) % jnp.int32(N_ROWS)
+    return jax.lax.fori_loop(0, ROUNDS, body, idx0)
 
 
-def chain_lowbits(table):
+@jax.jit
+def chain_lowbits(table, idx0):
     """The roofline protocol's flaw candidate: next index from the
     row's low bits -> indices collapse near the table head."""
-    @jax.jit
-    def run(idx0):
-        def body(i, idx):
-            row = jnp.take(table, idx, axis=0)
-            v = row if row.ndim == 1 else row[:, 0]
-            return (idx + (v & 1)) % jnp.int32(N_ROWS)
-        return jax.lax.fori_loop(0, ROUNDS, body, idx0)
-    return run
+    def body(i, idx):
+        row = jnp.take(table, idx, axis=0)
+        v = row if row.ndim == 1 else row[:, 0]
+        return (idx + (v & 1)) % jnp.int32(N_ROWS)
+    return jax.lax.fori_loop(0, ROUNDS, body, idx0)
 
 
 def main():
@@ -85,12 +83,12 @@ def main():
 
     for width in (640_000, 266_000, 110_000):
         idx0 = jax.random.randint(key, (width,), 0, N_ROWS, jnp.int32)
-        timeit(chain2(t8), idx0, width=width,
+        timeit(chain2, t8, idx0, width=width,
                label=f"134M x 8B rows, full-span chain, w={width//1000}k")
-        timeit(chain2(t4), idx0, width=width,
+        timeit(chain2, t4, idx0, width=width,
                label=f"134M x 4B rows, full-span chain, w={width//1000}k")
     idx0 = jax.random.randint(key, (640_000,), 0, N_ROWS, jnp.int32)
-    timeit(chain_lowbits(t8), idx0, width=640_000,
+    timeit(chain_lowbits, t8, idx0, width=640_000,
            label="134M x 8B rows, LOW-BITS chain (stationary idx)")
     print("DONE", flush=True)
 
