@@ -199,6 +199,24 @@ def interp_keyframes(k0: AnimKF, k1: AnimKF, t: float):
     return cam, interp_options(k0.options, k1.options, t)
 
 
+def timeline_at(kfs: List[AnimKF], frac: float):
+    """Camera + options at global timeline fraction ``frac`` in [0, 1]
+    (the editor's seek/scrub; total duration = sum of all segment
+    durations, the last keyframe being the endpoint).  Requires >= 2
+    keyframes."""
+    if len(kfs) < 2:
+        raise ValueError("timeline needs at least 2 keyframes")
+    durs = [max(float(k.duration), 1e-6) for k in kfs[:-1]]
+    total = sum(durs)
+    t_abs = float(np.clip(frac, 0.0, 1.0)) * total
+    acc = 0.0
+    for i, d in enumerate(durs):
+        if t_abs <= acc + d or i == len(durs) - 1:
+            return interp_keyframes(kfs[i], kfs[i + 1],
+                                    min((t_abs - acc) / d, 1.0))
+        acc += d
+
+
 def render_animation(renderer_factory, kfs: List[AnimKF], fps: float,
                      out_dir: str, width: int, height: int) -> int:
     """Offline PNG-sequence export (main_anim.cpp:1254-1262).
@@ -256,6 +274,9 @@ def main(argv=None) -> int:
             renderers[key] = r
         r = renderers[key]
         r.options = options
+        # propagate interpolated focal (keyframes may animate fx/fy;
+        # distinct focals re-specialize the frame jit -- correct first)
+        r.fx, r.fy = float(cam.fx), float(cam.fy)
         img, _ = r.render(cam.transform)
         r.advance_rng()
         return img

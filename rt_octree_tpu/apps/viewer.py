@@ -102,6 +102,25 @@ input[type=number] { width:4.5em; }
   <button onclick="post({type:'clear_meshes'})">clear</button>
   <div id="meshlist"></div>
   </fieldset>
+  <fieldset><legend>Animation</legend>
+  <label>dur <input id="akdur" type="number" step="0.1" value="1">
+    <input type="checkbox" id="aksph" checked> sph
+    loops <input id="akloops" type="number" value="0"></label>
+  <button onclick="animAdd()">add KF at curr</button>
+  <div id="kflist"></div>
+  <label>scrub <input id="ascrub" type="range" min="0" max="1"
+                      step="0.005" value="0" style="width:140px"></label>
+  <button id="aplay" onclick="animPlay()">preview</button>
+  <label>fps <input id="afps" type="number" value="30"></label>
+  <label><input id="aout" placeholder="output dir (server)"></label>
+  <button onclick="animRender()">render</button>
+  <button onclick="post({type:'anim_stop'})">stop</button>
+  <div id="aprog"></div>
+  <label><input id="akpath" placeholder="keyframes .json (server)">
+  </label>
+  <button onclick="animIO('anim_save')">save</button>
+  <button onclick="animIO('anim_load')">load</button>
+  </fieldset>
   <button onclick="shot()">screenshot</button>
   <p>drag = orbit &middot; shift-drag = pan<br>wheel = zoom &middot;
      WASD/QE = move (click image first)</p>
@@ -198,6 +217,85 @@ function listMeshes() {
   });
 }
 function shot() { window.open('/frame.png?shot=1'); }
+// ---- keyframe animation editor ----
+function animAdd() {
+  post({type: 'anim_add', duration: v('akdur'),
+        spherical: document.getElementById('aksph').checked,
+        loops: v('akloops')}).then(listKfs);
+}
+function listKfs() {
+  return fetch('/state').then(r => r.json()).then(st => {
+    const d = document.getElementById('kflist');
+    d.innerHTML = '';
+    st.anim.keyframes.forEach((k, i) => {
+      const row = document.createElement('div');
+      const dur = document.createElement('input');
+      dur.type = 'number'; dur.step = '0.1'; dur.value = k.duration;
+      dur.style.width = '3.5em';
+      dur.addEventListener('change', () =>
+        post({type: 'anim_edit', index: i, duration: +dur.value}));
+      const sph = document.createElement('input');
+      sph.type = 'checkbox'; sph.checked = k.spherical;
+      sph.addEventListener('change', () =>
+        post({type: 'anim_edit', index: i, spherical: sph.checked}));
+      const mk = (txt, ev) => {
+        const b = document.createElement('button');
+        b.textContent = txt;
+        b.addEventListener('click', () => post(ev).then(listKfs));
+        return b;
+      };
+      row.appendChild(document.createTextNode('#' + i + ' dur'));
+      row.appendChild(dur);
+      row.appendChild(document.createTextNode('s sph'));
+      row.appendChild(sph);
+      row.appendChild(mk('goto', {type: 'anim_goto', index: i}));
+      row.appendChild(mk('set', {type: 'anim_set', index: i}));
+      row.appendChild(mk('x', {type: 'anim_del', index: i}));
+      d.appendChild(row);
+    });
+    return st;
+  });
+}
+document.getElementById('ascrub').addEventListener('input', () =>
+  post({type: 'anim_seek', t: v('ascrub')}));
+document.getElementById('afps').addEventListener('change', () =>
+  post({type: 'anim_fps', fps: v('afps')}));
+let playTimer = null;
+function animPlay() {
+  const btn = document.getElementById('aplay');
+  if (playTimer) { clearInterval(playTimer); playTimer = null;
+                   btn.textContent = 'preview'; return; }
+  const s = document.getElementById('ascrub');
+  btn.textContent = 'pause';
+  playTimer = setInterval(() => {
+    let t = +s.value + 0.02;
+    if (t > 1) t = 0;
+    s.value = t;
+    post({type: 'anim_seek', t: t});
+  }, 150);
+}
+function animRender() {
+  post({type: 'anim_render',
+        out_dir: document.getElementById('aout').value}).then(pollAnim);
+}
+function pollAnim() {
+  fetch('/state').then(r => r.json()).then(st => {
+    const d = document.getElementById('aprog');
+    const p = st.anim.progress;
+    if (p < 0) { d.textContent = st.anim.error || ''; return; }
+    if (p <= 100) {
+      d.textContent = 'rendering ' + p.toFixed(0) + '%';
+      setTimeout(pollAnim, 500);
+      return;
+    }
+    d.textContent = 'done';
+  });
+}
+function animIO(type) {
+  post({type: type,
+        path: document.getElementById('akpath').value}).then(listKfs);
+}
+listKfs();
 refresh();
 </script></body></html>
 """
@@ -227,6 +325,17 @@ class ViewerState:
         self.load_progress = 101.0
         self.load_error = ""
         self._load_thread: Optional[threading.Thread] = None
+        # keyframe animation editor (main_anim.cpp:350-925 surface):
+        # keyframes capture full camera+options state; preview seeks are
+        # interactive events, offline export runs in a worker thread
+        # with report_progress-style polling (-2 idle, 0..100 rendering,
+        # 101 done, -1 failed)
+        self.anim_kfs: list = []
+        self.anim_fps = 30.0
+        self.anim_progress = -2.0
+        self.anim_error = ""
+        self._anim_thread: Optional[threading.Thread] = None
+        self._anim_stop = threading.Event()
         self._set_tree(tree_path)
 
     def _set_tree(self, tree_path: str) -> None:
@@ -299,11 +408,153 @@ class ViewerState:
             if not (0 < sz <= 512):
                 raise ValueError("probe_disp_size must be in (0, 512]")
             o.probe_disp_size = sz
+        self._set_options_obj(o)
+
+    def _set_options_obj(self, o) -> None:
+        """Validate + install a RenderOptions object (shared by the
+        options panel and the anim editor's goto/seek)."""
         o.validate()
         if o.show_grid and self.renderer._grid_mesh is None:
             self.renderer.set_grid_mesh(self.tree_host)
         self.renderer.options = o
         self._options = o
+
+    # ---- keyframe animation editor (main_anim.cpp:350-925) ------------
+    # The reference's animator GUI: per-keyframe goto / set / duration /
+    # spherical+loops / delete rows, "add KF at curr", preview seek, and
+    # offline export at a chosen fps.  Persistence + interpolation live
+    # in apps/anim.py; these events are the editing surface.
+
+    def _anim_capture(self, ev: dict):
+        from .anim import AnimKF
+        return AnimKF.from_renderer(
+            self.cam, dataclasses.replace(self._options),
+            duration=float(ev.get("duration", 1.0)),
+            spherical=bool(ev.get("spherical", True)),
+            loops=int(ev.get("loops", 0)))
+
+    def _anim_index(self, ev: dict) -> int:
+        i = int(ev.get("index", -1))
+        if not (0 <= i < len(self.anim_kfs)):
+            raise ValueError(f"no keyframe at index {i}")
+        return i
+
+    def _anim_apply(self, cam, options) -> None:
+        """Install an interpolated/keyframed camera + options as the
+        live viewer state (fx/fy changes re-specialize the frame jit)."""
+        self.cam.center = np.asarray(cam.center, np.float32).copy()
+        self.cam.v_back = np.asarray(cam.v_back, np.float32).copy()
+        self.cam.v_world_up = np.asarray(cam.v_world_up,
+                                         np.float32).copy()
+        self.cam.origin = np.asarray(cam.origin, np.float32).copy()
+        self.cam.fx, self.cam.fy = float(cam.fx), float(cam.fy)
+        self.cam.update()
+        self.renderer.fx, self.renderer.fy = self.cam.fx, self.cam.fy
+        self._set_options_obj(dataclasses.replace(options))
+
+    def _anim_event(self, t: str, ev: dict) -> None:
+        from . import anim as A
+        if t == "anim_add":
+            self.anim_kfs.append(self._anim_capture(ev))
+        elif t == "anim_set":
+            i = self._anim_index(ev)
+            old = self.anim_kfs[i]
+            self.anim_kfs[i] = self._anim_capture(
+                {"duration": old.duration, "spherical": old.spherical,
+                 "loops": old.loops})
+        elif t == "anim_goto":
+            k = self.anim_kfs[self._anim_index(ev)]
+            opts = k.to_renderer(self.cam)  # sets camera in place
+            self.renderer.fx, self.renderer.fy = self.cam.fx, self.cam.fy
+            self._set_options_obj(dataclasses.replace(opts))
+        elif t == "anim_del":
+            del self.anim_kfs[self._anim_index(ev)]
+        elif t == "anim_edit":
+            k = self.anim_kfs[self._anim_index(ev)]
+            if "duration" in ev:
+                d = float(ev["duration"])
+                if d <= 0:
+                    raise ValueError("duration must be > 0")
+                k.duration = d
+            if "spherical" in ev:
+                k.spherical = bool(ev["spherical"])
+            if "loops" in ev:
+                k.loops = int(ev["loops"])
+        elif t == "anim_seek":
+            cam, options = A.timeline_at(self.anim_kfs,
+                                         float(ev.get("t", 0.0)))
+            self._anim_apply(cam, options)
+        elif t == "anim_fps":
+            fps = float(ev.get("fps", 30.0))
+            if not (0 < fps <= 240):
+                raise ValueError("fps must be in (0, 240]")
+            self.anim_fps = fps
+        elif t == "anim_save":
+            path = str(ev.get("path", ""))
+            if not path:
+                raise ValueError("anim_save needs a path")
+            A.save_keyframes(path, self.anim_kfs, self.anim_fps)
+        elif t == "anim_load":
+            path = str(ev.get("path", ""))
+            if not os.path.exists(path):
+                raise ValueError(f"no such file: {path}")
+            self.anim_kfs, self.anim_fps = A.load_keyframes(path)
+        elif t == "anim_render":
+            self._anim_render_start(str(ev.get("out_dir", "")))
+        elif t == "anim_stop":
+            self._anim_stop.set()
+        else:
+            raise ValueError(f"unknown event type {t!r}")
+
+    def _anim_render_start(self, out_dir: str) -> None:
+        if len(self.anim_kfs) < 2:
+            raise ValueError("need at least 2 keyframes to render")
+        if not out_dir:
+            raise ValueError("anim_render needs out_dir")
+        if self._anim_thread is not None and self._anim_thread.is_alive():
+            raise ValueError("an animation render is already in progress")
+        self._anim_stop.clear()
+        self.anim_progress = 0.0
+        self.anim_error = ""
+        kfs = list(self.anim_kfs)
+        fps = self.anim_fps
+        self._anim_thread = threading.Thread(
+            target=self._anim_render_worker, args=(kfs, fps, out_dir),
+            daemon=True)
+        self._anim_thread.start()
+
+    def _anim_render_worker(self, kfs, fps, out_dir) -> None:
+        """Offline PNG export (main_anim.cpp:1254-1262) at the viewer's
+        resolution; one frame per lock acquisition so the UI stays
+        responsive, stoppable between frames."""
+        from ..io.images import to_uint8, write_png
+        try:
+            os.makedirs(out_dir, exist_ok=True)
+            total = sum(max(int(round(k.duration * fps)), 1)
+                        for k in kfs[:-1])
+            from . import anim as A
+            frame = 0
+            for k0, k1 in zip(kfs[:-1], kfs[1:]):
+                n = max(int(round(k0.duration * fps)), 1)
+                for i in range(n):
+                    if self._anim_stop.is_set():
+                        self.anim_progress = -2.0
+                        return
+                    cam, options = A.interp_keyframes(k0, k1, i / n)
+                    with self.lock:
+                        self._anim_apply(cam, options)
+                        img, _ = self.renderer.render(self.cam.transform,
+                                                      want_aux=False)
+                        self.renderer.advance_rng()
+                        arr = to_uint8(np.asarray(img))
+                    write_png(os.path.join(out_dir,
+                                           f"{frame:06d}.png"), arr)
+                    frame += 1
+                    self.anim_progress = 100.0 * frame / max(total, 1)
+            self.anim_progress = 101.0
+        except Exception as e:  # surfaced via /state
+            self.anim_error = str(e)
+            self.anim_progress = -1.0
 
     # ---- remote loading (main_web.cpp:139-171,276-284) ----------------
     # The reference's web viewer fetches trees/OBJs/drawlists over HTTP
@@ -409,6 +660,8 @@ class ViewerState:
                 self.meshes[i].visible = bool(ev.get("visible", True))
             elif t == "clear_meshes":
                 self.meshes = []
+            elif isinstance(t, str) and t.startswith("anim_"):
+                self._anim_event(t, ev)
             else:
                 raise ValueError(f"unknown event type {t!r}")
 
@@ -490,6 +743,16 @@ def make_handler(state: ViewerState):
                                for m in state.meshes],
                     "load_progress": state.load_progress,
                     "load_error": state.load_error,
+                    "anim": {
+                        "fps": state.anim_fps,
+                        "keyframes": [
+                            {"duration": k.duration,
+                             "spherical": bool(k.spherical),
+                             "loops": int(k.loops)}
+                            for k in state.anim_kfs],
+                        "progress": state.anim_progress,
+                        "error": state.anim_error,
+                    },
                 }).encode()
                 self._send(200, body, "application/json")
             else:

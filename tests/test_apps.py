@@ -669,6 +669,124 @@ def test_web_viewer_remote_load(tmp_path):
         fsrv.server_close()
 
 
+def test_web_viewer_anim_editor(tmp_path):
+    """The keyframe animation editor surface (main_anim.cpp:350-925):
+    add/set/goto/edit/delete keyframes from live state, timeline seek,
+    save/load JSON, and the offline PNG export with progress polling."""
+    import json
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import imageio.v2 as imageio
+
+    from rt_octree_tpu.apps.viewer import ViewerState, make_handler
+    from rt_octree_tpu.io import synthetic
+
+    tree_path = str(tmp_path / "tree.npz")
+    synthetic.save_npz(
+        synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4),
+        tree_path)
+    state = ViewerState(tree_path, width=24, height=24, lut_levels=0,
+                        spp=1)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def post(ev):
+            req = urllib.request.Request(
+                f"{base}/event", data=json.dumps(ev).encode(),
+                method="POST")
+            urllib.request.urlopen(req, timeout=600).read()
+
+        def get_state():
+            return json.loads(urllib.request.urlopen(
+                f"{base}/state", timeout=120).read())
+
+        def frame():
+            return urllib.request.urlopen(f"{base}/frame.png",
+                                          timeout=600).read()
+
+        # keyframe 0 at the start pose; keyframe 1 after an orbit drag
+        post({"type": "anim_add", "duration": 0.2, "spherical": True,
+              "loops": 0})
+        post({"type": "begin_drag", "x": 4, "y": 4, "pan": False,
+              "about_origin": True})
+        post({"type": "drag_update", "x": 18, "y": 10})
+        post({"type": "end_drag"})
+        post({"type": "anim_add", "duration": 0.2})
+        st = get_state()
+        assert len(st["anim"]["keyframes"]) == 2
+        assert st["anim"]["keyframes"][0]["duration"] == 0.2
+        center_at_kf1 = st["center"]
+
+        # seek to the midpoint: camera moves off both keyframes
+        post({"type": "anim_seek", "t": 0.5})
+        mid = get_state()["center"]
+        assert mid != center_at_kf1
+        png_mid = frame()
+
+        # goto restores keyframe 1's exact pose
+        post({"type": "anim_goto", "index": 1})
+        assert get_state()["center"] == center_at_kf1
+        assert frame() != png_mid
+
+        # edit + set + delete
+        post({"type": "anim_edit", "index": 0, "duration": 0.3,
+              "loops": 1})
+        st = get_state()
+        assert st["anim"]["keyframes"][0]["duration"] == 0.3
+        assert st["anim"]["keyframes"][0]["loops"] == 1
+        post({"type": "anim_edit", "index": 0, "duration": 0.2,
+              "loops": 0})
+        post({"type": "anim_set", "index": 1})  # refresh from live state
+        post({"type": "anim_add", "duration": 1.0})
+        post({"type": "anim_del", "index": 2})
+        assert len(get_state()["anim"]["keyframes"]) == 2
+
+        # save / load round-trip
+        kf_json = str(tmp_path / "kf.json")
+        post({"type": "anim_fps", "fps": 10})
+        post({"type": "anim_save", "path": kf_json})
+        assert json.load(open(kf_json))["fps"] == 10
+        post({"type": "anim_load", "path": kf_json})
+        assert len(get_state()["anim"]["keyframes"]) == 2
+
+        # offline export: 0.2 s at 10 fps = 2 frames, polled to done
+        out_dir = str(tmp_path / "anim_out")
+        post({"type": "anim_render", "out_dir": out_dir})
+        t0 = time.time()
+        while time.time() - t0 < 600:
+            p = get_state()["anim"]["progress"]
+            if p > 100 or p < 0:
+                break
+            time.sleep(0.1)
+        st = get_state()
+        assert st["anim"]["progress"] == 101.0, st["anim"]["error"]
+        img = imageio.imread(os.path.join(out_dir, "000000.png"))
+        assert img.shape[:2] == (24, 24)
+        assert os.path.exists(os.path.join(out_dir, "000001.png"))
+
+        # validation: bad index / too-few keyframes -> HTTP 400
+        for bad in ({"type": "anim_goto", "index": 7},
+                    {"type": "anim_edit", "index": 0, "duration": -1},
+                    {"type": "anim_render", "out_dir": ""}):
+            req = urllib.request.Request(
+                f"{base}/event", data=json.dumps(bad).encode(),
+                method="POST")
+            try:
+                urllib.request.urlopen(req, timeout=120)
+                assert False, f"expected HTTP 400 for {bad}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        assert frame()[:4] == b"\x89PNG"  # editor errors never wedge it
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_cli_render_tt_dataset_e2e(tmp_path):
     """Headless CLI over a TanksAndTemples-style pose dir (intrinsics.txt
     + pose/*.txt, OpenCV convention -- main_headless.cpp:273-297)."""
