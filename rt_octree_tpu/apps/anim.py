@@ -48,11 +48,15 @@ class AnimKF:
     duration: float = 1.0
     spherical: bool = True
     loops: int = 0
+    # keyframed mesh manipulation (main_anim.cpp MeshState :112-134):
+    # per-mesh {name, translation[3], rotation[3], scale, visible},
+    # lerped between keyframes and applied to scene meshes by name
+    mesh_state: list = dataclasses.field(default_factory=list)
 
     @staticmethod
     def from_renderer(cam: Camera, options: RenderOptions,
                       duration: float = 1.0, spherical: bool = True,
-                      loops: int = 0) -> "AnimKF":
+                      loops: int = 0, meshes=()) -> "AnimKF":
         return AnimKF(
             center=np.array(cam.center, np.float32),
             v_back=np.array(cam.v_back, np.float32),
@@ -60,7 +64,15 @@ class AnimKF:
             origin=np.array(cam.origin, np.float32),
             fx=cam.fx, fy=cam.fy,
             options=options, duration=duration, spherical=spherical,
-            loops=loops)
+            loops=loops,
+            mesh_state=[{
+                "name": m.name,
+                "translation": np.asarray(m.translation,
+                                          np.float32).tolist(),
+                "rotation": np.asarray(m.rotation, np.float32).tolist(),
+                "scale": float(m.scale),
+                "visible": bool(m.visible),
+            } for m in meshes])
 
     def to_renderer(self, cam: Camera) -> RenderOptions:
         cam.center = self.center.copy()
@@ -76,6 +88,7 @@ class AnimKF:
             "duration": self.duration,
             "spherical": self.spherical,
             "loops": self.loops,
+            "meshes": self.mesh_state,
             "camera": {
                 "center": self.center.tolist(),
                 "v_back": self.v_back.tolist(),
@@ -98,7 +111,8 @@ class AnimKF:
             options=RenderOptions.from_json_dict(d.get("options", {})),
             duration=float(d.get("duration", 1.0)),
             spherical=bool(d.get("spherical", True)),
-            loops=int(d.get("loops", 0)))
+            loops=int(d.get("loops", 0)),
+            mesh_state=list(d.get("meshes", [])))
 
 
 def save_keyframes(path: str, kfs: List[AnimKF], fps: float = 30.0) -> None:
@@ -177,6 +191,28 @@ def interp_options(o0: RenderOptions, o1: RenderOptions,
     return out
 
 
+def interp_mesh_state(k0: AnimKF, k1: AnimKF, t: float) -> list:
+    """Lerp per-mesh transforms between two keyframes, matched by name
+    (main_anim.cpp AnimState::update mesh lerp); a mesh present only in
+    k0 holds its k0 state.  Visibility switches at the keyframe."""
+    by_name = {m["name"]: m for m in k1.mesh_state}
+    out = []
+    for m0 in k0.mesh_state:
+        m1 = by_name.get(m0["name"])
+        if m1 is None:
+            out.append(dict(m0))
+            continue
+        lerp3 = lambda a, b: [(1 - t) * x + t * y for x, y in zip(a, b)]
+        out.append({
+            "name": m0["name"],
+            "translation": lerp3(m0["translation"], m1["translation"]),
+            "rotation": lerp3(m0["rotation"], m1["rotation"]),
+            "scale": (1 - t) * m0["scale"] + t * m1["scale"],
+            "visible": bool(m0["visible"]),
+        })
+    return out
+
+
 def interp_keyframes(k0: AnimKF, k1: AnimKF, t: float):
     """Camera + options at fraction t between two keyframes."""
     cam = Camera(fx=(1 - t) * k0.fx + t * k1.fx,
@@ -200,10 +236,10 @@ def interp_keyframes(k0: AnimKF, k1: AnimKF, t: float):
 
 
 def timeline_at(kfs: List[AnimKF], frac: float):
-    """Camera + options at global timeline fraction ``frac`` in [0, 1]
-    (the editor's seek/scrub; total duration = sum of all segment
-    durations, the last keyframe being the endpoint).  Requires >= 2
-    keyframes."""
+    """(camera, options, mesh_state) at global timeline fraction
+    ``frac`` in [0, 1] (the editor's seek/scrub; total duration = sum of
+    all segment durations, the last keyframe being the endpoint).
+    Requires >= 2 keyframes."""
     if len(kfs) < 2:
         raise ValueError("timeline needs at least 2 keyframes")
     durs = [max(float(k.duration), 1e-6) for k in kfs[:-1]]
@@ -212,8 +248,9 @@ def timeline_at(kfs: List[AnimKF], frac: float):
     acc = 0.0
     for i, d in enumerate(durs):
         if t_abs <= acc + d or i == len(durs) - 1:
-            return interp_keyframes(kfs[i], kfs[i + 1],
-                                    min((t_abs - acc) / d, 1.0))
+            t = min((t_abs - acc) / d, 1.0)
+            cam, options = interp_keyframes(kfs[i], kfs[i + 1], t)
+            return cam, options, interp_mesh_state(kfs[i], kfs[i + 1], t)
         acc += d
 
 

@@ -99,7 +99,13 @@ input[type=number] { width:4.5em; }
   <fieldset><legend>Meshes</legend>
   <input id="meshpath" placeholder="server path: .obj / drawlist .npz">
   <button onclick="loadMesh()">load</button>
-  <button onclick="post({type:'clear_meshes'})">clear</button>
+  <button onclick="post({type:'clear_meshes'}).then(listMeshes)">clear
+  </button>
+  <div>
+  <button onclick="addPrim('sphere')">sphere</button>
+  <button onclick="addPrim('cube')">cube</button>
+  <button onclick="addPrim('lattice')">lattice</button>
+  </div>
   <div id="meshlist"></div>
   </fieldset>
   <fieldset><legend>Animation</legend>
@@ -200,19 +206,56 @@ function pollLoad() {
     d.textContent = ''; refresh();
   });
 }
+function addPrim(kind) {
+  post({type: 'add_primitive', kind: kind}).then(listMeshes);
+}
+function vec3Inputs(vals, step, cb) {
+  const span = document.createElement('span');
+  const cur = vals.slice();
+  vals.forEach((x, j) => {
+    const e = document.createElement('input');
+    e.type = 'number'; e.step = step; e.value = x;
+    e.style.width = '3.2em';
+    e.addEventListener('change', () => { cur[j] = +e.value; cb(cur); });
+    span.appendChild(e);
+  });
+  return span;
+}
 function listMeshes() {
-  fetch('/state').then(r => r.json()).then(st => {
+  return fetch('/state').then(r => r.json()).then(st => {
     const d = document.getElementById('meshlist');
     d.innerHTML = '';
     st.meshes.forEach((m, i) => {
+      const row = document.createElement('div');
       const l = document.createElement('label');
       const c = document.createElement('input');
       c.type = 'checkbox'; c.checked = m.visible;
       c.addEventListener('change', () =>
-        post({type: 'mesh_vis', index: i, visible: c.checked}));
+        post({type: 'mesh_edit', index: i, visible: c.checked}));
       l.appendChild(c);
-      l.appendChild(document.createTextNode(' ' + m.name));
-      d.appendChild(l);
+      l.appendChild(document.createTextNode(' ' + m.name + ' '));
+      const del = document.createElement('button');
+      del.textContent = 'x';
+      del.addEventListener('click', () =>
+        post({type: 'mesh_del', index: i}).then(listMeshes));
+      l.appendChild(del);
+      row.appendChild(l);
+      const tr = document.createElement('div');
+      tr.appendChild(document.createTextNode('t'));
+      tr.appendChild(vec3Inputs(m.translation, '0.05', v =>
+        post({type: 'mesh_edit', index: i, translation: v})));
+      tr.appendChild(document.createTextNode('r'));
+      tr.appendChild(vec3Inputs(m.rotation, '0.1', v =>
+        post({type: 'mesh_edit', index: i, rotation: v})));
+      const sc = document.createElement('input');
+      sc.type = 'number'; sc.step = '0.05'; sc.value = m.scale;
+      sc.style.width = '3.2em';
+      sc.addEventListener('change', () =>
+        post({type: 'mesh_edit', index: i, scale: +sc.value}));
+      tr.appendChild(document.createTextNode('s'));
+      tr.appendChild(sc);
+      row.appendChild(tr);
+      d.appendChild(row);
     });
   });
 }
@@ -250,6 +293,7 @@ function listKfs() {
       row.appendChild(sph);
       row.appendChild(mk('goto', {type: 'anim_goto', index: i}));
       row.appendChild(mk('set', {type: 'anim_set', index: i}));
+      row.appendChild(mk('spin', {type: 'anim_rotate_all', index: i}));
       row.appendChild(mk('x', {type: 'anim_del', index: i}));
       d.appendChild(row);
     });
@@ -431,7 +475,19 @@ class ViewerState:
             self.cam, dataclasses.replace(self._options),
             duration=float(ev.get("duration", 1.0)),
             spherical=bool(ev.get("spherical", True)),
-            loops=int(ev.get("loops", 0)))
+            loops=int(ev.get("loops", 0)), meshes=self.meshes)
+
+    def _apply_mesh_state(self, mesh_state) -> None:
+        """Install keyframed per-mesh transforms, matched by name."""
+        by_name = {m["name"]: m for m in mesh_state}
+        for m in self.meshes:
+            s = by_name.get(m.name)
+            if s is None:
+                continue
+            m.translation = np.asarray(s["translation"], np.float32)
+            m.rotation = np.asarray(s["rotation"], np.float32)
+            m.scale = float(s["scale"])
+            m.visible = bool(s["visible"])
 
     def _anim_index(self, ev: dict) -> int:
         i = int(ev.get("index", -1))
@@ -467,6 +523,13 @@ class ViewerState:
             opts = k.to_renderer(self.cam)  # sets camera in place
             self.renderer.fx, self.renderer.fy = self.cam.fx, self.cam.fy
             self._set_options_obj(dataclasses.replace(opts))
+            self._apply_mesh_state(k.mesh_state)
+        elif t == "anim_rotate_all":
+            # a full extra turn for every keyframed mesh of this KF
+            # (main_anim.cpp:529-533 "Rotate all")
+            k = self.anim_kfs[self._anim_index(ev)]
+            for s in k.mesh_state:
+                s["rotation"][2] = float(s["rotation"][2]) + 2 * np.pi
         elif t == "anim_del":
             del self.anim_kfs[self._anim_index(ev)]
         elif t == "anim_edit":
@@ -481,9 +544,10 @@ class ViewerState:
             if "loops" in ev:
                 k.loops = int(ev["loops"])
         elif t == "anim_seek":
-            cam, options = A.timeline_at(self.anim_kfs,
-                                         float(ev.get("t", 0.0)))
+            cam, options, ms = A.timeline_at(self.anim_kfs,
+                                             float(ev.get("t", 0.0)))
             self._anim_apply(cam, options)
+            self._apply_mesh_state(ms)
         elif t == "anim_fps":
             fps = float(ev.get("fps", 30.0))
             if not (0 < fps <= 240):
@@ -527,7 +591,7 @@ class ViewerState:
         """Offline PNG export (main_anim.cpp:1254-1262) at the viewer's
         resolution; one frame per lock acquisition so the UI stays
         responsive, stoppable between frames."""
-        from ..io.images import to_uint8, write_png
+        from ..io.images import write_png
         try:
             os.makedirs(out_dir, exist_ok=True)
             total = sum(max(int(round(k.duration * fps)), 1)
@@ -541,12 +605,11 @@ class ViewerState:
                         self.anim_progress = -2.0
                         return
                     cam, options = A.interp_keyframes(k0, k1, i / n)
+                    ms = A.interp_mesh_state(k0, k1, i / n)
                     with self.lock:
                         self._anim_apply(cam, options)
-                        img, _ = self.renderer.render(self.cam.transform,
-                                                      want_aux=False)
-                        self.renderer.advance_rng()
-                        arr = to_uint8(np.asarray(img))
+                        self._apply_mesh_state(ms)
+                        arr = self._render_rgba_locked()
                     write_png(os.path.join(out_dir,
                                            f"{frame:06d}.png"), arr)
                     frame += 1
@@ -658,6 +721,15 @@ class ViewerState:
                 if not (0 <= i < len(self.meshes)):
                     raise ValueError(f"no mesh at index {i}")
                 self.meshes[i].visible = bool(ev.get("visible", True))
+            elif t == "mesh_edit":
+                self._mesh_edit(ev)
+            elif t == "mesh_del":
+                i = int(ev.get("index", -1))
+                if not (0 <= i < len(self.meshes)):
+                    raise ValueError(f"no mesh at index {i}")
+                del self.meshes[i]
+            elif t == "add_primitive":
+                self._add_primitive(str(ev.get("kind", "")))
             elif t == "clear_meshes":
                 self.meshes = []
             elif isinstance(t, str) and t.startswith("anim_"):
@@ -690,24 +762,81 @@ class ViewerState:
         else:
             raise ValueError("mesh path must end in .obj or .npz")
 
-    def render_png(self) -> bytes:
+    # ---- mesh manipulation (main.cpp Manipulation panel :711-860) ------
+
+    def _mesh_edit(self, ev: dict) -> None:
+        """Per-mesh transform/flags editing (the reference edits
+        translation / rotation (axis-angle) / scale / visible / unlit
+        per mesh)."""
+        i = int(ev.get("index", -1))
+        if not (0 <= i < len(self.meshes)):
+            raise ValueError(f"no mesh at index {i}")
+        m = self.meshes[i]
+        if "translation" in ev:
+            t = [float(x) for x in ev["translation"]]
+            if len(t) != 3:
+                raise ValueError("translation needs 3 floats")
+            m.translation = np.asarray(t, np.float32)
+        if "rotation" in ev:
+            r = [float(x) for x in ev["rotation"]]
+            if len(r) != 3:
+                raise ValueError("rotation needs 3 floats")
+            m.rotation = np.asarray(r, np.float32)
+        if "scale" in ev:
+            m.scale = float(ev["scale"])
+        if "visible" in ev:
+            m.visible = bool(ev["visible"])
+        if "unlit" in ev:
+            m.unlit = bool(ev["unlit"])
+
+    def _add_primitive(self, kind: str) -> None:
+        """Add Sphere / Cube / Lattice primitives with the reference's
+        placement defaults (sphere scale .1 / cube scale .2 at z=1;
+        lattice fit over the tree volume -- main.cpp:797-837)."""
+        from ..io import mesh as M
+        if kind == "sphere":
+            m = M.sphere()
+            m.scale, m.translation = 0.1, np.array([0, 0, 1], np.float32)
+        elif kind == "cube":
+            m = M.cube()
+            m.scale, m.translation = 0.2, np.array([0, 0, 1], np.float32)
+        elif kind == "lattice":
+            m = M.lattice()
+            sc = np.asarray(self.tree_host.scale, np.float32).reshape(-1)
+            off = np.asarray(self.tree_host.offset, np.float32)
+            m.scale = float(1.0 / sc.min())
+            m.translation = (-off / np.where(sc == 0, 1, sc)).astype(
+                np.float32)
+        else:
+            raise ValueError(f"unknown primitive {kind!r}")
+        n = sum(1 for x in self.meshes if x.name.startswith(m.name))
+        if n:
+            m.name = f"{m.name}{n}"
+        self.meshes.append(m)
+
+    def _render_rgba_locked(self) -> np.ndarray:
+        """One frame (mesh raster + volume + probe) at the current
+        state as uint8; caller must hold self.lock."""
         from ..io.images import to_uint8
 
+        kw = {}
+        visible = [m for m in self.meshes if m.visible]
+        if visible:
+            from ..render.raster import rasterize_meshes
+            bg = np.full(
+                3, self.renderer.options.background_brightness,
+                np.float32)
+            color, depth = rasterize_meshes(visible, self.cam,
+                                            background=bg)
+            kw = dict(mesh_color=color, mesh_depth=depth)
+        img, _ = self.renderer.render_with_probe(
+            self.cam.transform, want_aux=False, **kw)
+        self.renderer.advance_rng()
+        return to_uint8(np.asarray(img))
+
+    def render_png(self) -> bytes:
         with self.lock:
-            kw = {}
-            visible = [m for m in self.meshes if m.visible]
-            if visible:
-                from ..render.raster import rasterize_meshes
-                bg = np.full(
-                    3, self.renderer.options.background_brightness,
-                    np.float32)
-                color, depth = rasterize_meshes(visible, self.cam,
-                                                background=bg)
-                kw = dict(mesh_color=color, mesh_depth=depth)
-            img, _ = self.renderer.render_with_probe(
-                self.cam.transform, want_aux=False, **kw)
-            self.renderer.advance_rng()
-            arr = to_uint8(np.asarray(img))
+            arr = self._render_rgba_locked()
             self.frame_count += 1
         import imageio.v2 as imageio
         buf = io.BytesIO()
@@ -739,8 +868,14 @@ def make_handler(state: ViewerState):
                     "v_back": np.asarray(cam.v_back).tolist(),
                     "frames": state.frame_count,
                     "options": state.renderer.options.to_json_dict(),
-                    "meshes": [{"name": m.name, "visible": bool(m.visible)}
-                               for m in state.meshes],
+                    "meshes": [{
+                        "name": m.name, "visible": bool(m.visible),
+                        "translation": np.asarray(
+                            m.translation, np.float32).tolist(),
+                        "rotation": np.asarray(
+                            m.rotation, np.float32).tolist(),
+                        "scale": float(m.scale),
+                        "unlit": bool(m.unlit)} for m in state.meshes],
                     "load_progress": state.load_progress,
                     "load_error": state.load_error,
                     "anim": {

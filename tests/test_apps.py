@@ -769,6 +769,28 @@ def test_web_viewer_anim_editor(tmp_path):
         assert img.shape[:2] == (24, 24)
         assert os.path.exists(os.path.join(out_dir, "000001.png"))
 
+        # -- keyframed mesh manipulation (main_anim.cpp MeshState) --
+        # a cube whose translation differs between two keyframes lerps
+        # across the timeline and spins a full turn via anim_rotate_all
+        post({"type": "add_primitive", "kind": "cube"})
+        post({"type": "mesh_edit", "index": 0,
+              "translation": [0.0, 0.0, 1.0]})
+        post({"type": "anim_set", "index": 0})
+        post({"type": "mesh_edit", "index": 0,
+              "translation": [1.0, 0.0, 1.0]})
+        post({"type": "anim_set", "index": 1})
+        post({"type": "anim_rotate_all", "index": 0})
+        post({"type": "anim_seek", "t": 0.5})
+        st = get_state()
+        m = st["meshes"][0]
+        assert abs(m["translation"][0] - 0.5) < 1e-5
+        assert abs(m["rotation"][2] - np.pi) < 1e-4  # half the extra turn
+        post({"type": "anim_goto", "index": 0})
+        m = get_state()["meshes"][0]
+        assert abs(m["translation"][0]) < 1e-6
+        post({"type": "mesh_del", "index": 0})
+        assert len(get_state()["meshes"]) == 0
+
         # validation: bad index / too-few keyframes -> HTTP 400
         for bad in ({"type": "anim_goto", "index": 7},
                     {"type": "anim_edit", "index": 0, "duration": -1},
