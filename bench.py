@@ -426,6 +426,35 @@ def llff_scene_fps(net_cfg, net_params):
             extra["fps_llff_multipose"] = round(mp, 3)
     qual = _soft_quality(r, scene_kits("blobs"), "llff") if s == 1.0 \
         else None
+    # LOD escape hatch (io/lod.py): the LLFF roofline (PERF.md round 4)
+    # proves this regime is row-count bound, so the honest speed knob is
+    # a coarser tree -- measure the depth-capped tree's FPS and its
+    # quality against the same committed full-depth GT kit.
+    # RT_BENCH_LLFF_LOD=0 skips; depth via RT_BENCH_LLFF_LOD_DEPTH.
+    if os.environ.get("RT_BENCH_LLFF_LOD", "1") == "1":
+        try:
+            from rt_octree_tpu.io.lod import build_lod
+            d_lod = int(os.environ.get("RT_BENCH_LLFF_LOD_DEPTH", "8"))
+            d_lod = min(d_lod, tree.max_depth)
+            tl = build_lod(tree, d_lod)
+            dtl = upload_tree(tl, lut_levels=min(lut_levels,
+                                                 tl.max_depth))
+            sch2, div2 = auto_schedule(dtl, [cam.transform], opt,
+                                       cam.fx, cam.fy, W, H,
+                                       with_shade_div=True)
+            r2 = Renderer(dtl, W, H, cam.fx, cam.fy, options=opt,
+                          schedule=sch2, shade_cap_div=div2)
+            scene_denoiser(r2, "blobs", net_cfg, net_params)
+            f2 = _timed_fps(r2, cam.transform, f"llff lod d{d_lod}")
+            extra[f"fps_llff_lod_d{d_lod}"] = round(f2, 3)
+            if s == 1.0:
+                q2 = _soft_quality(r2, scene_kits("blobs"),
+                                   f"llff_lod_d{d_lod}")
+                if q2 is not None:
+                    extra[f"quality_llff_lod_d{d_lod}"] = q2
+        except Exception as e:  # noqa: BLE001 -- fail-soft like _soft
+            print(f"[bench] llff lod failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     return fps, qual, extra
 
 

@@ -6,6 +6,7 @@ Commands mirror the reference's executable surface:
   anim      offline keyframe animation render (apps/anim.py)
   train     denoiser training/test/compact (train/main.py)
   compress  octree quantization (apps/compress.py)
+  lod       depth-capped LOD tree construction (io/lod.py)
   tools     pose/drawlist extraction (apps/tools.py)
 """
 
@@ -53,6 +54,9 @@ def main(argv=None) -> int:
     if cmd == "compress":
         from .compress import main as compress_main
         return compress_main(rest)
+    if cmd == "lod":
+        from ..io.lod import main as lod_main
+        return lod_main(rest)
     if cmd == "tools":
         from .tools import main as tools_main
         return tools_main(rest)
