@@ -1253,7 +1253,7 @@ def _denoise(aux_nhwc, noisy_img, net_params, net_cfg: GuidanceNetConfig):
     static_argnames=("width", "height", "fx", "fy", "opt",
                      "n_chunks", "max_steps", "inc", "net_cfg",
                      "schedule", "has_mesh", "shade_cap_div",
-                     "want_aux"))
+                     "want_aux", "inner_width", "inner_height"))
 def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo,
                        net_params, mesh_color, mesh_depth, *, width: int,
                        height: int, fx: float, fy: float,
@@ -1261,14 +1261,47 @@ def _render_frame_impl(tree: DeviceTree, transform, state_hi, state_lo,
                        max_steps: int, inc: int,
                        net_cfg: Optional[GuidanceNetConfig],
                        schedule=DEFAULT_SCHEDULE, has_mesh: bool = False,
-                       shade_cap_div: int = 4, want_aux: bool = True):
+                       shade_cap_div: int = 4, want_aux: bool = True,
+                       inner_width: Optional[int] = None,
+                       inner_height: Optional[int] = None):
+    """One fused frame: march + composite (+ fused denoise).
+
+    inner_width/inner_height enable the additive FAST MODE (no reference
+    counterpart -- the CUDA renderer always traces one ray per output
+    pixel): the march runs at the inner resolution (same field of view,
+    focal scaled), and the noisy image + aux statistics are bilinearly
+    joint-upsampled to the output resolution BEFORE the fused
+    GuidanceNet denoise, so the guided filter doubles as the upsampler
+    (classic joint-bilateral upsampling).  The machine roofline
+    (PERF.md round 4) proves the canonical frame is gather-row bound;
+    this is the measured row-count escape hatch at full output size.
+    """
+    iw = inner_width or width
+    ih = inner_height or height
+    fast = (iw, ih) != (width, height)
+    if fast and has_mesh:
+        # mesh depth clips rays; sample the full-res pass at ray centers
+        mc = jax.image.resize(
+            mesh_color.reshape(height, width, 3), (ih, iw, 3),
+            "nearest").reshape(ih * iw, 3)
+        md = jax.image.resize(
+            mesh_depth.reshape(height, width), (ih, iw),
+            "nearest").reshape(ih * iw)
+    else:
+        mc, md = mesh_color, mesh_depth
     img, outc = _render_noisy(
-        tree, transform, state_hi, state_lo, width=width, height=height,
-        fx=fx, fy=fy, opt=opt, n_chunks=n_chunks, max_steps=max_steps,
+        tree, transform, state_hi, state_lo, width=iw, height=ih,
+        fx=fx * (iw / width), fy=fy * (ih / height), opt=opt,
+        n_chunks=n_chunks, max_steps=max_steps,
         inc=inc, schedule=schedule,
-        mesh_color=mesh_color if has_mesh else None,
-        mesh_depth=mesh_depth if has_mesh else None,
+        mesh_color=mc if has_mesh else None,
+        mesh_depth=md if has_mesh else None,
         shade_cap_div=shade_cap_div, aux_layout="raw")
+    if fast:
+        img = jax.image.resize(img, (height, width, 4), "bilinear")
+        outc = jax.image.resize(
+            outc.reshape(ih, iw, 4), (height, width, 4),
+            "bilinear").reshape(width * height, 4)
     if opt.denoise and net_cfg is not None:
         # the denoiser reads the aux statistics in its native NHWC
         # layout, built straight from the composited rows -- the [8,H,W]
@@ -1294,17 +1327,29 @@ class Renderer:
                  fy: float, options: Optional[RenderOptions] = None,
                  n_chunks: int = 0, max_steps: int = 8192, seed: int = 20230418,
                  schedule=DEFAULT_SCHEDULE, phase1_steps=None,
-                 compact_frac=None, shade_cap_div: int = 4):
+                 compact_frac=None, shade_cap_div: int = 4,
+                 render_scale: float = 1.0):
         self.tree = tree
         self.width = width
         self.height = height
+        if not (0.0 < render_scale <= 1.0):
+            raise ValueError("render_scale must be in (0, 1]")
+        self.render_scale = float(render_scale)
+        if render_scale < 1.0:
+            # fast mode (additive; see _render_frame_impl): march at the
+            # inner resolution, joint-upsample through the fused denoise
+            self.inner_width = max(1, round(width * render_scale))
+            self.inner_height = max(1, round(height * render_scale))
+        else:
+            self.inner_width = width
+            self.inner_height = height
         self.fx = float(fx)
         self.fy = float(fy)
         self.options = options or RenderOptions()
         self.options.validate()
         if n_chunks <= 0:
             n_chunks = _auto_chunks(height)
-        while (width * height) % n_chunks:
+        while (self.inner_width * self.inner_height) % n_chunks:
             n_chunks -= 1
         self.n_chunks = n_chunks
         self.max_steps = max_steps
@@ -1377,7 +1422,8 @@ class Renderer:
             n_chunks=self.n_chunks, max_steps=self.max_steps,
             inc=self.rng.inc, net_cfg=self.net_cfg if denoise else None,
             schedule=self.schedule, has_mesh=has_mesh,
-            shade_cap_div=self.shade_cap_div, want_aux=want_aux)
+            shade_cap_div=self.shade_cap_div, want_aux=want_aux,
+            inner_width=self.inner_width, inner_height=self.inner_height)
 
     def render_with_probe(self, transform: np.ndarray, **kw):
         """render() plus the lumisphere probe overlay when
@@ -1459,6 +1505,17 @@ def _filter_jit(weight, guidance, noisy_img):
     return guided_filter(weight, guidance, noisy_img)
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def _fast_upsample_jit(img, aux_chw, *, height: int, width: int):
+    """Fast-mode joint upsample for the split-phase path: bilinear on
+    the composited rgba; the aux square channels are recomputed from
+    the upsampled values (same contract as aux_from_composite, where
+    the square channels are the square of the composited rows)."""
+    img = jax.image.resize(img, (height, width, 4), "bilinear")
+    rgba = jax.image.resize(aux_chw[:4], (4, height, width), "bilinear")
+    return img, jnp.concatenate([rgba, rgba * rgba], axis=0)
+
+
 def render_timed(renderer: "Renderer", transform, timer,
                  profile_dir: Optional[str] = None, mesh_color=None,
                  mesh_depth=None, probe: bool = False) -> tuple:
@@ -1489,17 +1546,28 @@ def render_timed(renderer: "Renderer", transform, timer,
           if has_mesh else None)
     md = (jnp.asarray(mesh_depth, jnp.float32).reshape(R)
           if has_mesh else None)
+    fast = renderer.render_scale < 1.0
+    if fast and has_mesh:
+        raise NotImplementedError(
+            "render_timed: mesh compositing under fast mode is only "
+            "wired through Renderer.render()")
     with timer.phase(T_RENDER):
         img, aux = _render_noisy_jit(
             renderer.tree, jnp.asarray(transform, jnp.float32),
             jnp.uint32(renderer.rng.state >> 32),
             jnp.uint32(renderer.rng.state & 0xFFFFFFFF),
-            width=renderer.width, height=renderer.height, fx=renderer.fx,
-            fy=renderer.fy, opt=FrozenOptions.from_options(opt),
+            width=renderer.inner_width, height=renderer.inner_height,
+            fx=renderer.fx * (renderer.inner_width / renderer.width),
+            fy=renderer.fy * (renderer.inner_height / renderer.height),
+            opt=FrozenOptions.from_options(opt),
             n_chunks=renderer.n_chunks, max_steps=renderer.max_steps,
             inc=renderer.rng.inc, schedule=renderer.schedule,
             mesh_color=mc, mesh_depth=md,
             shade_cap_div=renderer.shade_cap_div)
+        if fast:
+            # joint-upsample counts as render phase (it replaces rays)
+            img, aux = _fast_upsample_jit(
+                img, aux, height=renderer.height, width=renderer.width)
         sync(aux)
     if denoise:
         with timer.phase(T_NET):
