@@ -368,6 +368,35 @@ def tt_scene_fps(net_cfg, net_params):
         if mp is not None:
             extra["fps_tt_multipose"] = round(mp, 3)
     qual = _soft_quality(r, scene_kits("tt"), "tt") if s == 1.0 else None
+    # fast-mode rung at the TT resolution (2.07M rays full-res makes
+    # this the regime where halving the march resolution pays most)
+    if os.environ.get("RT_BENCH_FAST", "1") == "1":
+        try:
+            fsc = float(os.environ.get("RT_BENCH_FAST_SCALE", "0.5"))
+            iw, ih = max(1, round(W * fsc)), max(1, round(H * fsc))
+            schf, divf = auto_schedule(dt, [cam.transform], opt,
+                                       cam.fx * (iw / W),
+                                       cam.fy * (ih / H), iw, ih,
+                                       with_shade_div=True)
+            rfa = Renderer(dt, W, H, cam.fx, cam.fy, options=opt,
+                           schedule=schf, shade_cap_div=divf,
+                           render_scale=fsc)
+            scene_denoiser(rfa, "tt", net_cfg, net_params,
+                           fallbacks=("solid",))
+            if not rfa.denoise_recommended:
+                rfa.options.denoise = False
+            ff = _timed_fps(rfa, cam.transform, f"tt fast s={fsc}")
+            fast = {"scale": fsc, "fps": round(ff, 3),
+                    "denoise": bool(rfa.options.denoise)}
+            if s == 1.0:
+                qf = _soft_quality(rfa, scene_kits("tt"),
+                                   f"tt_fast_s{fsc}")
+                if qf is not None:
+                    fast["quality"] = qf
+            extra["tt_fast"] = fast
+        except Exception as e:  # noqa: BLE001 -- fail-soft like _soft
+            print(f"[bench] tt fast failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     return fps, qual, extra
 
 
@@ -426,6 +455,33 @@ def llff_scene_fps(net_cfg, net_params):
             extra["fps_llff_multipose"] = round(mp, 3)
     qual = _soft_quality(r, scene_kits("blobs"), "llff") if s == 1.0 \
         else None
+    # fast-mode rung: the LLFF roofline proves the regime is row-count
+    # bound (~90 occupied leaf steps/ray), so marching at half the ray
+    # count per axis is the measured per-frame escape hatch -- quality
+    # vs the same full-res GT kit (the output stays WxH).
+    if os.environ.get("RT_BENCH_FAST", "1") == "1":
+        try:
+            fsc = float(os.environ.get("RT_BENCH_FAST_SCALE", "0.5"))
+            iw, ih = max(1, round(W * fsc)), max(1, round(H * fsc))
+            schf, divf = auto_schedule(dt, [cam.transform], opt,
+                                       cam.fx * (iw / W),
+                                       cam.fy * (ih / H), iw, ih,
+                                       with_shade_div=True)
+            rfa = Renderer(dt, W, H, cam.fx, cam.fy, options=opt,
+                           schedule=schf, shade_cap_div=divf,
+                           render_scale=fsc)
+            scene_denoiser(rfa, "blobs", net_cfg, net_params)
+            ff = _timed_fps(rfa, cam.transform, f"llff fast s={fsc}")
+            fast = {"scale": fsc, "fps": round(ff, 3)}
+            if s == 1.0:
+                qf = _soft_quality(rfa, scene_kits("blobs"),
+                                   f"llff_fast_s{fsc}")
+                if qf is not None:
+                    fast["quality"] = qf
+            extra["llff_fast"] = fast
+        except Exception as e:  # noqa: BLE001 -- fail-soft like _soft
+            print(f"[bench] llff fast failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     # LOD escape hatch (io/lod.py): the LLFF roofline (PERF.md round 4)
     # proves this regime is row-count bound, so the honest speed knob is
     # a coarser tree -- measure the depth-capped tree's FPS and its
@@ -662,10 +718,41 @@ def main():
         return 1.0 / dtf
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def shell_fast():
+        """Fast-mode rung (PERF.md round 4): the canonical frame is
+        gather-row bound at the machine floor, so the measured speed
+        knob at full output size is fewer rays -- march at
+        scale*800, joint-upsample image+aux through the fused denoise
+        (the guided filter doubles as the upsampler).  The headline
+        stays full-res for round-over-round comparability; this rung
+        reports the speed/quality trade at the shipped default scale.
+        RT_BENCH_FAST=0 skips; RT_BENCH_FAST_SCALE overrides."""
+        if os.environ.get("RT_BENCH_FAST", "1") != "1":
+            return None
+        scale = float(os.environ.get("RT_BENCH_FAST_SCALE", "0.5"))
+        iw = ih = max(1, round(800 * scale))
+        sf, divf = auto_schedule(dt, [cam.transform], opt,
+                                 cam.fx * (iw / 800), cam.fy * (ih / 800),
+                                 iw, ih, with_shade_div=True)
+        rf = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt,
+                      schedule=sf, shade_cap_div=divf, render_scale=scale)
+        if r.net_cfg is not None:
+            rf.set_denoiser(r.net_cfg, r.net_params)
+        fps_f = _timed_fps(rf, cam.transform, f"shell fast s={scale}")
+        q = _soft_quality(rf, [os.path.join(CACHE, "quality_ds"),
+                               os.path.join(here, "benchmarks", "quality")],
+                          f"fast_s{scale}")
+        res = {"scale": scale, "fps": round(fps_f, 3)}
+        if q is not None:
+            res["quality"] = q
+        return res
+
     fps_mp = _soft(multipose_fps)
     quality = _soft(quality_report, r,
                     [os.path.join(CACHE, "quality_ds"),
                      os.path.join(here, "benchmarks", "quality")])
+    fast = _soft(shell_fast)
     solid = (_soft(second_scene_fps, r.net_cfg, r.net_params)
              or (None, None, {}))
     llff = (_soft(llff_scene_fps, r.net_cfg, r.net_params)
@@ -686,6 +773,8 @@ def main():
         out["fps_multipose"] = round(fps_mp, 3)
     if quality is not None:
         out["quality"] = quality
+    if fast is not None:
+        out["fast"] = fast
     if fps_solid is not None:
         out["fps_solid_hard_surface"] = round(fps_solid, 3)
     if qual_solid is not None:

@@ -293,6 +293,10 @@ def main(argv=None) -> int:
     p.add_argument("-w", "--width", type=int, default=800)
     p.add_argument("--height", type=int, default=800)
     p.add_argument("--gnet", default="")
+    p.add_argument("--render_scale", type=float, default=1.0,
+                   help="fast mode: march at this fraction of the "
+                        "output resolution, joint-upsample through the "
+                        "fused denoise (additive TPU knob; PERF.md)")
     args = p.parse_args(argv)
 
     tree = n3tree.load(args.file)
@@ -305,7 +309,7 @@ def main(argv=None) -> int:
         key = options.spp
         if key not in renderers:
             r = Renderer(dt, args.width, args.height, cam.fx, cam.fy,
-                         options=options)
+                         options=options, render_scale=args.render_scale)
             if args.gnet:
                 r.set_denoiser(args.gnet)
             renderers[key] = r

@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="probe this scene's survivor curve on the loaded "
                         "poses and tune the march compaction schedule "
                         "(replaces the bench-scene-tuned defaults)")
+    p.add_argument("--render_scale", type=float, default=1.0,
+                   help="fast mode: march at this fraction of the output "
+                        "resolution and joint-upsample through the fused "
+                        "denoise (output size unchanged; additive TPU "
+                        "knob, no reference counterpart -- see PERF.md)")
     return p
 
 
@@ -153,12 +158,18 @@ def run(argv: Optional[Sequence[str]] = None) -> int:
 
     dt = upload_tree(tree, lut_levels=args.lut_levels)
     kw = {}
+    if args.render_scale != 1.0:
+        kw["render_scale"] = args.render_scale
     if args.auto_schedule:
         from ..render.schedule import auto_schedule
         probe_poses = poses[:: max(len(poses) // 3, 1)][:3]
+        # fast mode marches at the inner resolution -- probe the
+        # survivor curve there, not at the output size
+        rs = kw.get("render_scale", 1.0)
+        iw, ih = max(1, round(width * rs)), max(1, round(height * rs))
         kw["schedule"], kw["shade_cap_div"] = auto_schedule(
-            dt, probe_poses, options, fx, fy, width, height,
-            with_shade_div=True)
+            dt, probe_poses, options, fx * (iw / width),
+            fy * (ih / height), iw, ih, with_shade_div=True)
         print(f"[rtoctree] auto schedule: {kw['schedule']} "
               f"shade_div={kw['shade_cap_div']}", file=sys.stderr)
     renderer = Renderer(dt, width, height, fx, fy, options=options, **kw)

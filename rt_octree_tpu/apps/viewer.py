@@ -70,6 +70,13 @@ input[type=number] { width:4.5em; }
   <label><input type="checkbox" id="grid"> show grid</label>
   <label>bg <input id="bg" type="range" min="0" max="1" step="0.05"
                    value="1"></label>
+  <label>fast (march res):
+    <select id="rscale">
+      <option value="1" selected>full</option>
+      <option value="0.75">3/4</option>
+      <option value="0.5">1/2</option>
+      <option value="0.4">2/5</option>
+    </select></label>
   </fieldset>
   <fieldset><legend>Visualization</legend>
   <label>bbox min <input id="bb0" type="number" step="0.05" value="0">
@@ -177,11 +184,13 @@ function optEvent() {
           rot_dirs: [v('rd0'), v('rd1'), v('rd2')],
           enable_probe: document.getElementById('probe_on').checked,
           probe: [v('pr0'), v('pr1'), v('pr2')],
-          probe_disp_size: v('prsz')};
+          probe_disp_size: v('prsz'),
+          render_scale: v('rscale')};
 }
-for (const id of ['spp','denoise','grid','estimator','bg','bb0','bb1',
-                  'bb2','bb3','bb4','bb5','bmin','bmax','rd0','rd1',
-                  'rd2','probe_on','pr0','pr1','pr2','prsz']) {
+for (const id of ['spp','denoise','grid','estimator','bg','rscale',
+                  'bb0','bb1','bb2','bb3','bb4','bb5','bmin','bmax',
+                  'rd0','rd1','rd2','probe_on','pr0','pr1','pr2',
+                  'prsz']) {
   document.getElementById(id).addEventListener('change',
     () => post(optEvent()));
 }
@@ -358,6 +367,7 @@ class ViewerState:
 
         self.auto_schedule = auto_schedule
         self.lut_levels = lut_levels
+        self.render_scale = 1.0  # fast mode: <1 marches at inner res
         self.cam = Camera(width=width, height=height)
         self._options = RenderOptions(spp=spp, denoise=False)
         self._gnet = gnet
@@ -390,17 +400,30 @@ class ViewerState:
         loads by path)."""
         from ..io import n3tree
         from ..ops.traversal import upload_tree
-        from ..render.renderer import Renderer
 
         self.tree_host = n3tree.load(tree_path)
         self.dt = upload_tree(self.tree_host, lut_levels=min(
             self.lut_levels, self.tree_host.max_depth))
+        self._build_renderer()
+
+    def _build_renderer(self) -> None:
+        """(Re)build the renderer around the current tree/options/scale
+        (render_scale is a constructor-level knob: the inner-resolution
+        buffers are shape-static inside the frame jit)."""
+        from ..render.renderer import Renderer
+
         kw = {}
+        if self.render_scale != 1.0:
+            kw["render_scale"] = self.render_scale
         if self.auto_schedule:
             from ..render.schedule import auto_schedule
+            rs = self.render_scale
+            iw = max(1, round(self.cam.width * rs))
+            ih = max(1, round(self.cam.height * rs))
             kw["schedule"], kw["shade_cap_div"] = auto_schedule(
-                self.dt, self.cam.transform, self._options, self.cam.fx,
-                self.cam.fy, self.cam.width, self.cam.height,
+                self.dt, self.cam.transform, self._options,
+                self.cam.fx * (iw / self.cam.width),
+                self.cam.fy * (ih / self.cam.height), iw, ih,
                 with_shade_div=True)
         self.renderer = Renderer(self.dt, self.cam.width, self.cam.height,
                                  self.cam.fx, self.cam.fy,
@@ -453,6 +476,15 @@ class ViewerState:
                 raise ValueError("probe_disp_size must be in (0, 512]")
             o.probe_disp_size = sz
         self._set_options_obj(o)
+        if "render_scale" in ev:
+            rs = float(ev["render_scale"])
+            if not (0.0 < rs <= 1.0):
+                raise ValueError("render_scale must be in (0, 1]")
+            if rs != self.render_scale:
+                # constructor-level fast-mode knob: rebuild the renderer
+                # around the new inner resolution (options carry over)
+                self.render_scale = rs
+                self._build_renderer()
 
     def _set_options_obj(self, o) -> None:
         """Validate + install a RenderOptions object (shared by the
@@ -868,6 +900,7 @@ def make_handler(state: ViewerState):
                     "v_back": np.asarray(cam.v_back).tolist(),
                     "frames": state.frame_count,
                     "options": state.renderer.options.to_json_dict(),
+                    "render_scale": state.render_scale,
                     "meshes": [{
                         "name": m.name, "visible": bool(m.visible),
                         "translation": np.asarray(

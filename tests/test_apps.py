@@ -317,6 +317,16 @@ def test_headless_cli_end_to_end(tmp_path):
     assert aux.shape == (8, 16, 16)
     np.testing.assert_allclose(aux[4:], aux[:4] ** 2, atol=1e-6)
 
+    # fast mode: march at half res, output image size unchanged
+    out_fast = str(tmp_path / "out_fast")
+    rc = run([tree_path, poses_path, "-o", out_fast,
+              "-w", "16", "--height", "16", "--spp", "2", "--warmup", "0",
+              "--lut_levels", "2", "--render_scale", "0.5"])
+    assert rc == 0
+    from rt_octree_tpu.io.images import read_png
+    img = read_png(os.path.join(out_fast, "r_0.png"))
+    assert img.shape[:2] == (16, 16)
+
 
 def test_cli_dispatcher(capsys):
     from rt_octree_tpu.apps.cli import main
@@ -567,6 +577,26 @@ def test_web_viewer_end_to_end(tmp_path):
                                                 timeout=120).read())
         assert st4["options"]["spp"] == 2  # unchanged
         assert frame()[:4] == b"\x89PNG"  # renderer still healthy
+
+        # -- fast mode (render_scale): renderer rebuilds around the
+        #    inner march resolution, output size unchanged --
+        post({"type": "options", "render_scale": 0.5})
+        st5 = json.loads(urllib.request.urlopen(f"{base}/state",
+                                                timeout=120).read())
+        assert st5["render_scale"] == 0.5
+        assert state.renderer.inner_width == 12
+        assert frame()[:4] == b"\x89PNG"
+        req = urllib.request.Request(
+            f"{base}/event", data=json.dumps(
+                {"type": "options", "render_scale": 0}).encode(),
+            method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        post({"type": "options", "render_scale": 1.0})
+        assert state.renderer.inner_width == 24
     finally:
         httpd.shutdown()
         httpd.server_close()
