@@ -1,0 +1,162 @@
+"""Build a FAST-MODE denoiser training kit by distillation.
+
+The round-4 fast-mode ladder (tools/round4_fast.py) measured that the
+shell-trained GuidanceNet adds only +0.7 dB on render_scale=0.5 frames:
+joint-upsampled noisy input is out of its training distribution.  This
+tool builds a kit whose
+
+  * inputs are fast-mode aux buffers (march at QD_FAST_SCALE of the
+    output resolution, image+aux bilinearly joint-upsampled -- exactly
+    what the production fast path feeds the net), and
+  * training targets are TEACHER frames: the committed full-resolution
+    pipeline (SPP=6 march + shell-trained denoise, 54.8 dB vs real GT).
+
+Distillation sidesteps the expensive converged-GT renders for the train
+split (a teacher frame costs ~160 ms vs ~minutes for the classic
+marcher); the ceiling is the teacher's quality.  The TEST split is NOT
+distilled: it reuses the committed real-GT kit (benchmarks/quality --
+classic-marcher converged renders) with freshly rendered fast-mode
+bufs, so every reported number stays anchored to real ground truth.
+
+Layout matches train/dataset.py's blender reader, so the canonical
+training protocol (10x10 slices, bs=32, SMAPE; denoiser/runner.py
+parity) runs unchanged:
+
+    OUT/transforms_{train,test}.json
+    OUT/{train,test}/r_*.png         teacher (train) / real GT (test)
+    OUT/spp_6/{train,test}/buf_*.bin fast-mode aux dumps
+
+Run: nohup python tools/make_fast_kit.py > /tmp/r4/fastkit.log 2>&1 &
+"""
+
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "axon")
+
+import jax
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(ROOT, ".bench_cache", "xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+RS = float(os.environ.get("QD_FAST_SCALE", "0.5"))
+N_TRAIN = int(os.environ.get("QD_TRAIN", "32"))
+RES = int(os.environ.get("QD_RES", "800"))
+SPP = 6
+OUT = os.environ.get("QD_OUT") or os.path.join(
+    ROOT, ".bench_cache", "quality_ds_fast")
+GT_KIT = os.environ.get("QD_GT_KIT") or os.path.join(
+    ROOT, "benchmarks", "quality")
+SPLITS = [s for s in os.environ.get("QD_SPLITS", "train,test").split(",")
+          if s]
+
+
+def main():
+    from bench import get_tree
+    from rt_octree_tpu.core.camera import Camera
+    from rt_octree_tpu.core.options import RenderOptions
+    from rt_octree_tpu.io.images import write_png
+    from rt_octree_tpu.ops.traversal import upload_tree
+    from rt_octree_tpu.render.renderer import Renderer
+    from rt_octree_tpu.render.schedule import auto_schedule
+
+    print(f"devices: {jax.devices()}  scale={RS}  out={OUT}", flush=True)
+    tree = get_tree("shell")
+    dt = upload_tree(tree, lut_levels=min(9, tree.max_depth))
+    opt_t = RenderOptions(spp=SPP, denoise=True, step_size=1e-4,
+                          sigma_thresh=1e-2, background_brightness=1.0)
+    opt_s = RenderOptions(spp=SPP, denoise=False, step_size=1e-4,
+                          sigma_thresh=1e-2, background_brightness=1.0)
+    cam0 = Camera(width=RES, height=RES)
+
+    # teacher: the committed full-resolution pipeline
+    sch_t, div_t = auto_schedule(dt, [cam0.transform], opt_t, cam0.fx,
+                                 cam0.fy, RES, RES, with_shade_div=True)
+    teacher = Renderer(dt, RES, RES, cam0.fx, cam0.fy, options=opt_t,
+                       schedule=sch_t, shade_cap_div=div_t)
+    teacher.set_denoiser(os.path.join(GT_KIT, "trained.gnet"))
+
+    # student input: the production fast path (march at RS, denoise off,
+    # aux joint-upsampled to the output resolution)
+    iw = ih = max(1, round(RES * RS))
+    sch_s, div_s = auto_schedule(dt, [cam0.transform], opt_s,
+                                 cam0.fx * (iw / RES), cam0.fy * (ih / RES),
+                                 iw, ih, with_shade_div=True)
+    student = Renderer(dt, RES, RES, cam0.fx, cam0.fy, options=opt_s,
+                       schedule=sch_s, shade_cap_div=div_s,
+                       render_scale=RS)
+
+    def dump(split, name, transform, gt_png=None):
+        """Render the student buf for one pose; write GT (teacher render
+        unless a real-GT png is supplied)."""
+        img_s, aux = student.render(transform)
+        student.advance_rng()
+        np.asarray(aux, np.float32).tofile(
+            os.path.join(OUT, f"spp_{SPP}", split, f"buf_{name}.bin"))
+        if gt_png is None:
+            img_t, _ = teacher.render(transform)
+            teacher.advance_rng()
+            write_png(os.path.join(OUT, split, f"{name}.png"),
+                      np.asarray(img_t)[..., :3])
+        else:
+            shutil.copyfile(gt_png, os.path.join(OUT, split,
+                                                 f"{name}.png"))
+
+    # ---- train split: orbit poses, teacher targets -------------------
+    if "train" in SPLITS:
+        split = "train"
+        os.makedirs(os.path.join(OUT, split), exist_ok=True)
+        os.makedirs(os.path.join(OUT, f"spp_{SPP}", split), exist_ok=True)
+        rng = np.random.default_rng(20230418)
+        frames = []
+        for i in range(N_TRAIN):
+            azim = rng.uniform(0, 2 * np.pi)
+            elev = rng.uniform(np.deg2rad(-25), np.deg2rad(65))
+            c = 5.02 * np.array([np.cos(elev) * np.cos(azim),
+                                 np.cos(elev) * np.sin(azim),
+                                 np.sin(elev)], np.float32)
+            cam = Camera(width=RES, height=RES, center=c,
+                         v_back=c / np.linalg.norm(c))
+            name = f"r_{i}"
+            dump(split, name, cam.transform)
+            c2w = np.eye(4, dtype=np.float32)
+            c2w[:3, :] = cam.transform
+            frames.append({"file_path": f"./{split}/{name}",
+                           "transform_matrix": c2w.tolist()})
+            print(f"[train {i + 1}/{N_TRAIN}]", flush=True)
+        with open(os.path.join(OUT, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x":
+                       2 * np.arctan(RES / (2 * cam0.fx)),
+                       "frames": frames}, f)
+
+    # ---- test split: committed REAL-GT poses + fast-mode bufs --------
+    if "test" in SPLITS:
+        split = "test"
+        os.makedirs(os.path.join(OUT, split), exist_ok=True)
+        os.makedirs(os.path.join(OUT, f"spp_{SPP}", split), exist_ok=True)
+        with open(os.path.join(GT_KIT, "transforms_test.json")) as f:
+            tj = json.load(f)
+        for i, fr in enumerate(tj["frames"]):
+            name = os.path.basename(fr["file_path"])
+            pose = np.asarray(fr["transform_matrix"], np.float32)[:3]
+            # same per-pose seed as bench.quality_report so the kit's
+            # test numbers are comparable with the bench gate
+            student.rng.seed(20230418, 1)
+            dump(split, name, pose,
+                 gt_png=os.path.join(GT_KIT, "test", f"{name}.png"))
+            print(f"[test {i + 1}/{len(tj['frames'])}]", flush=True)
+        with open(os.path.join(OUT, f"transforms_{split}.json"), "w") as f:
+            json.dump(tj, f)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
