@@ -737,7 +737,19 @@ def main():
                                  iw, ih, with_shade_div=True)
         rf = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt,
                       schedule=sf, shade_cap_div=divf, render_scale=scale)
-        if r.net_cfg is not None:
+        # prefer a FAST-MODE-trained net (tools/make_fast_kit.py
+        # distillation kit): the shell-trained net is nearly inert on
+        # joint-upsampled input (+0.7 dB vs +10.2 dB at full res)
+        import glob as _glob
+        cands = sorted(_glob.glob(os.path.join(
+            CACHE, "quality_ds_fast", "logs", "fast", "ts_*.gnet")))
+        kit = os.path.join(here, "benchmarks", "quality", "fast.gnet")
+        gnet_fast = cands[-1] if cands else (
+            kit if os.path.exists(kit) else "")
+        if gnet_fast:
+            rf.set_denoiser(gnet_fast)
+            print(f"[bench] fast denoiser: {gnet_fast}", file=sys.stderr)
+        elif r.net_cfg is not None:
             rf.set_denoiser(r.net_cfg, r.net_params)
         fps_f = _timed_fps(rf, cam.transform, f"shell fast s={scale}")
         q = _soft_quality(rf, [os.path.join(CACHE, "quality_ds"),

@@ -963,3 +963,68 @@ def test_quality_kit_dataset_e2e(tmp_path):
     # the noisy SPP=6 render against the classic converged GT must be in
     # a sane PSNR range (it is the signal the denoiser trains on)
     assert q["noisy"]["psnr"] > 15.0
+
+
+def test_fast_kit_dataset_e2e(tmp_path):
+    """The fast-mode distillation chain end-to-end at tiny scale:
+    tools/make_fast_kit.py builds a kit (fast-mode aux bufs in, teacher
+    frames as train targets, real-GT kit as the test anchor) and the
+    canonical training protocol runs on it and exports a .gnet."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = tmp_path / "cache"
+    base_env = {**os.environ, "JAX_PLATFORMS": "cpu",
+                "RT_BENCH_CACHE": str(cache), "RT_BENCH_DEPTH": "5"}
+
+    # 1. a tiny REAL-GT kit (classic converged GT, test split only)
+    env = {**base_env, "QD_SCENE": "shell", "QD_GT_ONLY": "1",
+           "QD_SPLITS": "test", "QD_TEST": "1", "QD_RES": "64"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools",
+                                      "make_quality_dataset.py")],
+        capture_output=True, text=True, timeout=1200, cwd=root, env=env)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    gt_kit = cache / "quality_ds"
+    assert (gt_kit / "test" / "r_0.png").exists()
+
+    # 2. a teacher artifact in the kit (random init is fine at e2e scale)
+    from rt_octree_tpu.models.guidance_net import (
+        GuidanceNetConfig, compact_and_export, init_params)
+    import jax
+    cfg = GuidanceNetConfig()
+    compact_and_export(cfg, init_params(cfg, jax.random.PRNGKey(0)),
+                       str(gt_kit / "trained.gnet"))
+
+    # 3. the fast-mode distillation kit against that GT kit
+    out_kit = tmp_path / "fast_kit"
+    env = {**base_env, "QD_GT_KIT": str(gt_kit), "QD_OUT": str(out_kit),
+           "QD_RES": "64", "QD_TRAIN": "1", "QD_FAST_SCALE": "0.5"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "make_fast_kit.py")],
+        capture_output=True, text=True, timeout=1200, cwd=root, env=env)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert (out_kit / "transforms_train.json").exists()
+    assert (out_kit / "transforms_test.json").exists()
+    assert (out_kit / "train" / "r_0.png").exists()  # teacher frame
+    # test GT is the REAL-GT kit's png, copied verbatim
+    gt_src = (gt_kit / "test" / "r_0.png").read_bytes()
+    assert (out_kit / "test" / "r_0.png").read_bytes() == gt_src
+    for split in ("train", "test"):
+        buf = out_kit / "spp_6" / split / "buf_r_0.bin"
+        assert buf.stat().st_size == 8 * 64 * 64 * 4  # full-res layout
+
+    # 4. the canonical training protocol consumes it and exports
+    r = subprocess.run(
+        [sys.executable, "-m", "rt_octree_tpu.train.main",
+         "--config", os.path.join(root, "configs", "blender.txt"),
+         "--task", "train", "--data_dir", str(out_kit),
+         "--logs_root", str(tmp_path / "logs"), "--exp_name", "fast",
+         "--epochs", "2", "--i_test", "2", "--i_save", "2",
+         "--nx", "4", "--ny", "4"],  # 16x16 slices of the 64x64 frames
+        capture_output=True, text=True, timeout=1200, cwd=root,
+        env=base_env)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    work = tmp_path / "logs" / "fast"
+    assert list(work.glob("ts_*.gnet")), list(work.iterdir())
