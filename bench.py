@@ -204,6 +204,28 @@ def scene_denoiser(r, scene, net_cfg, net_params, fallbacks=()):
               file=sys.stderr)
 
 
+def _fast_denoiser(r, scene):
+    """Prefer a FAST-MODE-trained distillation net for a fast rung
+    (tools/make_fast_kit.py): the full-res-trained nets are nearly
+    inert on joint-upsampled input (PERF.md fast-mode section).
+    Returns True when one was installed."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    sub = ("quality_ds_fast" if scene == "shell"
+           else f"quality_ds_fast_{scene}")
+    exp = "fast" if scene == "shell" else f"fast_{scene}"
+    kitdir = "quality" if scene == "shell" else f"quality_{scene}"
+    cands = sorted(glob.glob(os.path.join(
+        CACHE, sub, "logs", exp, "ts_*.gnet")))
+    kit = os.path.join(here, "benchmarks", kitdir, "fast.gnet")
+    path = cands[-1] if cands else (kit if os.path.exists(kit) else "")
+    if path:
+        r.set_denoiser(path)
+        print(f"[bench] {scene} fast denoiser: {path}", file=sys.stderr)
+        return True
+    return False
+
+
 def _timed_fps(r, transform, label):
     """Companion-scene timing loop: compile + warm-up + chained-checksum
     device-time frames (same protocol as the headline)."""
@@ -381,10 +403,14 @@ def tt_scene_fps(net_cfg, net_params):
             rfa = Renderer(dt, W, H, cam.fx, cam.fy, options=opt,
                            schedule=schf, shade_cap_div=divf,
                            render_scale=fsc)
-            scene_denoiser(rfa, "tt", net_cfg, net_params,
-                           fallbacks=("solid",))
-            if not rfa.denoise_recommended:
-                rfa.options.denoise = False
+            # a FAST-MODE-trained net fixes upsampling artifacts the
+            # full-res nets never saw; the full-res "denoise hurts hard
+            # surfaces" advice does not carry over to upsampled input
+            if not _fast_denoiser(rfa, "tt"):
+                scene_denoiser(rfa, "tt", net_cfg, net_params,
+                               fallbacks=("solid",))
+                if not rfa.denoise_recommended:
+                    rfa.options.denoise = False
             ff = _timed_fps(rfa, cam.transform, f"tt fast s={fsc}")
             fast = {"scale": fsc, "fps": round(ff, 3),
                     "denoise": bool(rfa.options.denoise)}
@@ -470,7 +496,8 @@ def llff_scene_fps(net_cfg, net_params):
             rfa = Renderer(dt, W, H, cam.fx, cam.fy, options=opt,
                            schedule=schf, shade_cap_div=divf,
                            render_scale=fsc)
-            scene_denoiser(rfa, "blobs", net_cfg, net_params)
+            if not _fast_denoiser(rfa, "blobs"):
+                scene_denoiser(rfa, "blobs", net_cfg, net_params)
             ff = _timed_fps(rfa, cam.transform, f"llff fast s={fsc}")
             fast = {"scale": fsc, "fps": round(ff, 3)}
             if s == 1.0:
@@ -737,19 +764,7 @@ def main():
                                  iw, ih, with_shade_div=True)
         rf = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt,
                       schedule=sf, shade_cap_div=divf, render_scale=scale)
-        # prefer a FAST-MODE-trained net (tools/make_fast_kit.py
-        # distillation kit): the shell-trained net is nearly inert on
-        # joint-upsampled input (+0.7 dB vs +10.2 dB at full res)
-        import glob as _glob
-        cands = sorted(_glob.glob(os.path.join(
-            CACHE, "quality_ds_fast", "logs", "fast", "ts_*.gnet")))
-        kit = os.path.join(here, "benchmarks", "quality", "fast.gnet")
-        gnet_fast = cands[-1] if cands else (
-            kit if os.path.exists(kit) else "")
-        if gnet_fast:
-            rf.set_denoiser(gnet_fast)
-            print(f"[bench] fast denoiser: {gnet_fast}", file=sys.stderr)
-        elif r.net_cfg is not None:
+        if not _fast_denoiser(rf, "shell") and r.net_cfg is not None:
             rf.set_denoiser(r.net_cfg, r.net_params)
         fps_f = _timed_fps(rf, cam.transform, f"shell fast s={scale}")
         q = _soft_quality(rf, [os.path.join(CACHE, "quality_ds"),

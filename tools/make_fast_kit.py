@@ -51,12 +51,30 @@ RS = float(os.environ.get("QD_FAST_SCALE", "0.5"))
 N_TRAIN = int(os.environ.get("QD_TRAIN", "32"))
 RES = int(os.environ.get("QD_RES", "800"))
 SPP = 6
+# shell | blobs (LLFF/NDC) | tt (TanksAndTemples-resolution, solid tree)
+SCENE = os.environ.get("QD_SCENE", "shell")
+QD_SCALE = float(os.environ.get("QD_SCALE", "1"))  # shrink for smoke
 OUT = os.environ.get("QD_OUT") or os.path.join(
-    ROOT, ".bench_cache", "quality_ds_fast")
+    ROOT, ".bench_cache",
+    "quality_ds_fast" if SCENE == "shell" else f"quality_ds_fast_{SCENE}")
 GT_KIT = os.environ.get("QD_GT_KIT") or os.path.join(
-    ROOT, "benchmarks", "quality")
+    ROOT, "benchmarks",
+    "quality" if SCENE == "shell" else f"quality_{SCENE}")
 SPLITS = [s for s in os.environ.get("QD_SPLITS", "train,test").split(",")
           if s]
+# the tt regime is the solid hard-surface tree at the big-frame
+# resolution (bench.py tt_scene_fps; main_headless.cpp:274-275)
+TREE_KIND = {"tt": "solid"}.get(SCENE, SCENE)
+
+if SCENE == "blobs":
+    # canonical LLFF factor-4 resolution + NDC warp (bench llff scene)
+    W, H, FOCAL = int(1008 * QD_SCALE), int(756 * QD_SCALE), 800.0 * QD_SCALE
+elif SCENE == "tt":
+    W, H = int(1920 * QD_SCALE), int(1080 * QD_SCALE)
+    FOCAL = 1158.0 * QD_SCALE  # bench.py tt_scene_fps focal
+else:
+    W = H = int(RES * QD_SCALE)
+    FOCAL = None  # Camera default focal
 
 
 def main():
@@ -68,29 +86,42 @@ def main():
     from rt_octree_tpu.render.renderer import Renderer
     from rt_octree_tpu.render.schedule import auto_schedule
 
-    print(f"devices: {jax.devices()}  scale={RS}  out={OUT}", flush=True)
-    tree = get_tree("shell")
+    print(f"devices: {jax.devices()}  scene={SCENE}  scale={RS}  "
+          f"out={OUT}", flush=True)
+    tree = get_tree(TREE_KIND)
+    if SCENE == "blobs":
+        tree.use_ndc = True
+        tree.ndc_width = float(W)
+        tree.ndc_height = float(H)
+        tree.ndc_focal = FOCAL
     dt = upload_tree(tree, lut_levels=min(9, tree.max_depth))
     opt_t = RenderOptions(spp=SPP, denoise=True, step_size=1e-4,
                           sigma_thresh=1e-2, background_brightness=1.0)
     opt_s = RenderOptions(spp=SPP, denoise=False, step_size=1e-4,
                           sigma_thresh=1e-2, background_brightness=1.0)
-    cam0 = Camera(width=RES, height=RES)
+    kwf = {"fx": FOCAL, "fy": FOCAL} if FOCAL else {}
+    cam0 = Camera(width=W, height=H, **kwf)
 
     # teacher: the committed full-resolution pipeline
     sch_t, div_t = auto_schedule(dt, [cam0.transform], opt_t, cam0.fx,
-                                 cam0.fy, RES, RES, with_shade_div=True)
-    teacher = Renderer(dt, RES, RES, cam0.fx, cam0.fy, options=opt_t,
+                                 cam0.fy, W, H, with_shade_div=True)
+    teacher = Renderer(dt, W, H, cam0.fx, cam0.fy, options=opt_t,
                        schedule=sch_t, shade_cap_div=div_t)
     teacher.set_denoiser(os.path.join(GT_KIT, "trained.gnet"))
+    if not teacher.denoise_recommended:
+        # hard-surface kits record that full-res filtering COSTS quality
+        # (PERF.md per-scene denoiser finding); the honest teacher is the
+        # ADVISED production config -- the near-converged noisy frame
+        teacher.options.denoise = False
+        print("[fastkit] teacher denoise OFF (kit advice)", flush=True)
 
     # student input: the production fast path (march at RS, denoise off,
     # aux joint-upsampled to the output resolution)
-    iw = ih = max(1, round(RES * RS))
+    iw, ih = max(1, round(W * RS)), max(1, round(H * RS))
     sch_s, div_s = auto_schedule(dt, [cam0.transform], opt_s,
-                                 cam0.fx * (iw / RES), cam0.fy * (ih / RES),
+                                 cam0.fx * (iw / W), cam0.fy * (ih / H),
                                  iw, ih, with_shade_div=True)
-    student = Renderer(dt, RES, RES, cam0.fx, cam0.fy, options=opt_s,
+    student = Renderer(dt, W, H, cam0.fx, cam0.fy, options=opt_s,
                        schedule=sch_s, shade_cap_div=div_s,
                        render_scale=RS)
 
@@ -118,13 +149,25 @@ def main():
         rng = np.random.default_rng(20230418)
         frames = []
         for i in range(N_TRAIN):
-            azim = rng.uniform(0, 2 * np.pi)
-            elev = rng.uniform(np.deg2rad(-25), np.deg2rad(65))
-            c = 5.02 * np.array([np.cos(elev) * np.cos(azim),
-                                 np.cos(elev) * np.sin(azim),
-                                 np.sin(elev)], np.float32)
-            cam = Camera(width=RES, height=RES, center=c,
-                         v_back=c / np.linalg.norm(c))
+            if SCENE == "blobs":
+                # LLFF forward-facing jitter (same distribution as
+                # tools/make_quality_dataset.py's blobs kit)
+                back = np.array([rng.uniform(-0.08, 0.08),
+                                 rng.uniform(-0.08, 0.08), 1.0],
+                                np.float32)
+                back /= np.linalg.norm(back)
+                cam = Camera(width=W, height=H, center=np.array(
+                    [rng.uniform(-0.2, 0.2), rng.uniform(-0.15, 0.15),
+                     rng.uniform(0.15, 0.45)], np.float32),
+                    v_back=back, **kwf)
+            else:
+                azim = rng.uniform(0, 2 * np.pi)
+                elev = rng.uniform(np.deg2rad(-25), np.deg2rad(65))
+                c = 5.02 * np.array([np.cos(elev) * np.cos(azim),
+                                     np.cos(elev) * np.sin(azim),
+                                     np.sin(elev)], np.float32)
+                cam = Camera(width=W, height=H, center=c,
+                             v_back=c / np.linalg.norm(c), **kwf)
             name = f"r_{i}"
             dump(split, name, cam.transform)
             c2w = np.eye(4, dtype=np.float32)
@@ -134,7 +177,7 @@ def main():
             print(f"[train {i + 1}/{N_TRAIN}]", flush=True)
         with open(os.path.join(OUT, f"transforms_{split}.json"), "w") as f:
             json.dump({"camera_angle_x":
-                       2 * np.arctan(RES / (2 * cam0.fx)),
+                       2 * np.arctan(W / (2 * cam0.fx)),
                        "frames": frames}, f)
 
     # ---- test split: committed REAL-GT poses + fast-mode bufs --------
