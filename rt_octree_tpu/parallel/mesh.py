@@ -83,7 +83,7 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
                                 fx: float, fy: float, opt: FrozenOptions,
                                 inc: int = 3, max_steps: int = 2048,
                                 schedule=None, net_cfg=None,
-                                net_params=None):
+                                net_params=None, render_scale: float = 1.0):
     """Whole-frame renderer with rays sharded over the mesh.
 
     Ray generation, PCG32 sampling, compositing and aux assembly run SPMD
@@ -102,7 +102,17 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
     stack and the guided filter -- XLA partitions both with halo
     exchanges over ICI; no resharding sits between march and denoise.
     Outputs all-gather at the [H,W,4]/[8,H,W] boundary.  The per-frame
-    host traffic is the 3x4 pose and RNG state (~60B)."""
+    host traffic is the 3x4 pose and RNG state (~60B).
+
+    ``render_scale`` < 1 is fast mode (render/renderer.py fast path,
+    PERF.md round-4 ladder): every shard marches its slice of the INNER
+    resolution (focal scaled, same field of view) and the noisy image +
+    aux rows joint-upsample bilinearly to the output size before the
+    fused denoise -- the guided filter doubles as the upsampler.  The
+    upsample happens on the H-sharded rows, so XLA partitions it with
+    the same halo exchanges as the conv stack; the row-count saving is
+    per-chip.  The inner pixel count must stay divisible by the mesh
+    size (same constraint the full-res path puts on width*height)."""
     from ..render.renderer import (
         DEFAULT_SCHEDULE, device_camera_rays, maybe_world2ndc,
         rodrigues_jnp, trace_rays)
@@ -110,11 +120,17 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
 
     if schedule is None:
         schedule = DEFAULT_SCHEDULE
+    if not (0.0 < render_scale <= 1.0):
+        raise ValueError("render_scale must be in (0, 1]")
+    iw = max(1, round(width * render_scale))
+    ih = max(1, round(height * render_scale))
+    fast = (iw, ih) != (width, height)
+    fx_in, fy_in = fx * (iw / width), fy * (ih / height)
     repl = NamedSharding(mesh, P())
     ray_axes = ("dp", "sp")
     img_sharding = NamedSharding(mesh, P(ray_axes, None, None))
     aux_sharding = NamedSharding(mesh, P(None, ray_axes, None))
-    R = width * height
+    R = iw * ih
     spp = opt.spp
     denoise = bool(opt.denoise) and net_cfg is not None
 
@@ -142,7 +158,7 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
         in_shardings=(None, repl, repl, repl, None),
         out_shardings=(img_sharding, aux_sharding))
     def frame(tree_arrays, transform, state_hi, state_lo, params):
-        dirs, cens = device_camera_rays(transform, width, height, fx, fy)
+        dirs, cens = device_camera_rays(transform, iw, ih, fx_in, fy_in)
         vdirs = rodrigues_jnp(jnp.asarray(opt.rot_dirs, jnp.float32), dirs)
         wdirs, wcens = maybe_world2ndc(tree_arrays, dirs, cens)
         uniforms = pcg32_uniforms_range(
@@ -153,8 +169,18 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
         out = sharded_trace(tree_arrays, wdirs, vdirs, wcens, dst, tmax_bg)
         from ..render.renderer import (_denoise, aux_from_composite,
                                        composite)
-        img, outc = composite(out, width, height,
-                              opt.background_brightness)
+        img, outc = composite(out, iw, ih, opt.background_brightness)
+        if fast:
+            # joint upsample to the output resolution on the sharded
+            # rows; the H-axis constraint keeps the resize (and the
+            # denoise behind it) partitioned instead of gathered
+            img = jax.lax.with_sharding_constraint(
+                jax.image.resize(img, (height, width, 4), "bilinear"),
+                img_sharding)
+            outc = jax.lax.with_sharding_constraint(
+                jax.image.resize(outc.reshape(ih, iw, 4),
+                                 (height, width, 4), "bilinear"),
+                img_sharding).reshape(width * height, 4)
         if denoise:
             # NHWC aux built straight from the composited rows (no CHW
             # round-trip), kept H-sharded (rows == rays) for the

@@ -132,3 +132,46 @@ def test_sharded_frame_denoise_brick_matches_single():
                                atol=4e-5)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img1),
                                atol=2e-4)
+
+
+def test_sharded_fast_mode_matches_single():
+    """Fast mode (render_scale<1: inner-res march + joint upsample
+    through the fused denoise) must be sharding-invariant: the
+    multi-chip renderer at scale 0.5 matches the single-device fast
+    path bit-near.  The inner 16x16 ray grid shards 8 ways."""
+    import jax.numpy as jnp
+    from rt_octree_tpu.core.camera import Camera
+    from rt_octree_tpu.core.options import RenderOptions
+    from rt_octree_tpu.io import synthetic
+    from rt_octree_tpu.models.guidance_net import (
+        GuidanceNetConfig, compact_params, init_params)
+    from rt_octree_tpu.ops.traversal import upload_tree
+    from rt_octree_tpu.parallel.mesh import (
+        make_mesh, make_sharded_frame_renderer)
+    from rt_octree_tpu.render.renderer import FrozenOptions, Renderer
+    from rt_octree_tpu.utils.rng import Pcg32
+
+    tree = synthetic.make_synthetic_tree("shell", depth=3, basis_dim=4)
+    dt = upload_tree(tree, lut_levels=0, brick=False)
+    cfg = GuidanceNetConfig(in_channels=8, mid_channels=8, num_layers=2,
+                            num_branches=2, kernel_levels=2)
+    params = compact_params(cfg, init_params(cfg, jax.random.PRNGKey(0)))
+    cam = Camera(width=32, height=32, fx=60.0, fy=60.0)
+    opt = RenderOptions(spp=2, denoise=True)
+    mesh = make_mesh(8)
+    frame = make_sharded_frame_renderer(
+        mesh, dt, 32, 32, 60.0, 60.0, FrozenOptions.from_options(opt),
+        max_steps=256, net_cfg=cfg, net_params=params, render_scale=0.5)
+    rng = Pcg32(20230418)
+    img, aux = frame(jnp.asarray(cam.transform),
+                     jnp.uint32(rng.state >> 32),
+                     jnp.uint32(rng.state & 0xFFFFFFFF))
+    r = Renderer(dt, 32, 32, 60.0, 60.0, options=opt, n_chunks=1,
+                 max_steps=256, render_scale=0.5)
+    r.set_denoiser(cfg, params)
+    img1, aux1 = r.render(cam.transform)
+    assert np.asarray(img).shape == (32, 32, 4)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img1),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(aux), np.asarray(aux1),
+                               atol=4e-5)
