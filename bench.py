@@ -11,8 +11,16 @@ Scene: no dataset ships in this environment, so the scene is a procedural
 PlenOctree (shell topology, depth 9, SH9 -- ~1M nodes, comparable to a
 NeRF-synthetic octree) built once and cached on disk.
 
-Prints ONE json line: {"metric", "value" (FPS), "unit", "vs_baseline"}
-where baseline is the 30 FPS target from BASELINE.json.
+Driver contract: the LAST stdout line that parses as JSON wins.  The
+summary is emitted INCREMENTALLY -- after the headline and again after
+every completed rung -- so a timeout loses only unreached rungs, never
+the already-measured numbers (round 4's single end-of-run print lost
+everything to rc=124; reference protocol anchor: main_headless.cpp:545-547
+prints per run, not at session end).  RT_BENCH_BUDGET_S (seconds) makes
+the bench budget-aware: once elapsed time crosses the budget, remaining
+rungs are skipped and the JSON emitted so far is final.
+
+The JSON schema is documented in BASELINE.md ("Bench JSON schema").
 """
 
 import json
@@ -28,6 +36,22 @@ BASELINE_FPS = 30.0
 DEPTH = int(os.environ.get("RT_BENCH_DEPTH", "9"))
 WARMUP = int(os.environ.get("RT_BENCH_WARMUP", "5"))
 FRAMES = int(os.environ.get("RT_BENCH_FRAMES", "20"))
+BUDGET_S = float(os.environ.get("RT_BENCH_BUDGET_S", "0") or 0)
+_START = time.time()
+
+
+def _emit(out: dict) -> None:
+    """Print the current summary JSON (driver parses the LAST line)."""
+    print(json.dumps(out), flush=True)
+
+
+def _over_budget(label: str) -> bool:
+    if BUDGET_S > 0 and (time.time() - _START) > BUDGET_S:
+        print(f"[bench] budget {BUDGET_S:.0f}s exceeded "
+              f"({time.time() - _START:.0f}s elapsed): skipping {label}",
+              file=sys.stderr)
+        return True
+    return False
 
 
 def get_tree(kind="shell"):
@@ -136,6 +160,13 @@ def quality_report(r, kits, label=""):
         print("[bench] quality: no GT images found; skipping",
               file=sys.stderr)
         return None
+    # uniform-protocol gate (VERDICT r4 weak-5): every scene x rung
+    # reports the SAME pose count or fails loudly -- a kit missing GT
+    # frames must not silently shrink the sample and make gates
+    # incomparable across rounds (round 3 recorded poses=1 for shell)
+    assert len(acc["noisy"]) == n_poses, (
+        f"quality kit {qd} has {len(acc['noisy'])}/{n_poses} GT poses -- "
+        "gates must be same-size across scenes/rounds (RT_BENCH_QPOSES)")
     out = {"poses": len(acc["noisy"])}
     for mode in ("noisy", "denoised"):
         m = np.mean(np.asarray(acc[mode]), axis=0)
@@ -204,25 +235,33 @@ def scene_denoiser(r, scene, net_cfg, net_params, fallbacks=()):
               file=sys.stderr)
 
 
-def _fast_denoiser(r, scene):
+def _fast_denoiser(r, scene, scale=None):
     """Prefer a FAST-MODE-trained distillation net for a fast rung
     (tools/make_fast_kit.py): the full-res-trained nets are nearly
-    inert on joint-upsampled input (PERF.md fast-mode section).
-    Returns True when one was installed."""
+    inert on joint-upsampled input (PERF.md fast-mode section).  A
+    scale-specific artifact (fast_s<scale>.gnet) wins over the generic
+    one.  Returns True when one was installed."""
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
     sub = ("quality_ds_fast" if scene == "shell"
            else f"quality_ds_fast_{scene}")
     exp = "fast" if scene == "shell" else f"fast_{scene}"
     kitdir = "quality" if scene == "shell" else f"quality_{scene}"
-    cands = sorted(glob.glob(os.path.join(
-        CACHE, sub, "logs", exp, "ts_*.gnet")))
-    kit = os.path.join(here, "benchmarks", kitdir, "fast.gnet")
-    path = cands[-1] if cands else (kit if os.path.exists(kit) else "")
-    if path:
-        r.set_denoiser(path)
-        print(f"[bench] {scene} fast denoiser: {path}", file=sys.stderr)
-        return True
+    cand_paths = []
+    if scale is not None:
+        cand_paths += sorted(glob.glob(os.path.join(
+            CACHE, f"{sub}_s{scale}", "logs", f"{exp}_s{scale}",
+            "ts_*.gnet")))[-1:]
+        cand_paths.append(os.path.join(
+            here, "benchmarks", kitdir, f"fast_s{scale}.gnet"))
+    cand_paths += sorted(glob.glob(os.path.join(
+        CACHE, sub, "logs", exp, "ts_*.gnet")))[-1:]
+    cand_paths.append(os.path.join(here, "benchmarks", kitdir, "fast.gnet"))
+    for path in cand_paths:
+        if os.path.exists(path):
+            r.set_denoiser(path)
+            print(f"[bench] {scene} fast denoiser: {path}", file=sys.stderr)
+            return True
     return False
 
 
@@ -406,7 +445,7 @@ def tt_scene_fps(net_cfg, net_params):
             # a FAST-MODE-trained net fixes upsampling artifacts the
             # full-res nets never saw; the full-res "denoise hurts hard
             # surfaces" advice does not carry over to upsampled input
-            if not _fast_denoiser(rfa, "tt"):
+            if not _fast_denoiser(rfa, "tt", fsc):
                 scene_denoiser(rfa, "tt", net_cfg, net_params,
                                fallbacks=("solid",))
                 if not rfa.denoise_recommended:
@@ -496,7 +535,7 @@ def llff_scene_fps(net_cfg, net_params):
             rfa = Renderer(dt, W, H, cam.fx, cam.fy, options=opt,
                            schedule=schf, shade_cap_div=divf,
                            render_scale=fsc)
-            if not _fast_denoiser(rfa, "blobs"):
+            if not _fast_denoiser(rfa, "blobs", fsc):
                 scene_denoiser(rfa, "blobs", net_cfg, net_params)
             ff = _timed_fps(rfa, cam.transform, f"llff fast s={fsc}")
             fast = {"scale": fsc, "fps": round(ff, 3)}
@@ -535,6 +574,35 @@ def llff_scene_fps(net_cfg, net_params):
                                    f"llff_lod_d{d_lod}")
                 if q2 is not None:
                     extra[f"quality_llff_lod_d{d_lod}"] = q2
+            # INTERACTIVE rung (VERDICT r4 item 5): the LLFF roofline
+            # proves this regime is row-count bound (~90 occupied leaf
+            # steps/ray), so the productized escape hatch composes BOTH
+            # row-count levers -- the depth-capped LOD tree and the fast
+            # sub-resolution march -- with the fast-trained blobs net,
+            # one rung with the same 8-pose quality gate as the
+            # canonical 0.85 FPS number printed beside it.
+            fsc = float(os.environ.get("RT_BENCH_FAST_SCALE", "0.5"))
+            iw2, ih2 = max(1, round(W * fsc)), max(1, round(H * fsc))
+            sch3, div3 = auto_schedule(dtl, [cam.transform], opt,
+                                       cam.fx * (iw2 / W),
+                                       cam.fy * (ih2 / H), iw2, ih2,
+                                       with_shade_div=True)
+            r3 = Renderer(dtl, W, H, cam.fx, cam.fy, options=opt,
+                          schedule=sch3, shade_cap_div=div3,
+                          render_scale=fsc)
+            if not _fast_denoiser(r3, "blobs", fsc):
+                scene_denoiser(r3, "blobs", net_cfg, net_params)
+            f3 = _timed_fps(r3, cam.transform,
+                            f"llff interactive (lod d{d_lod} x fast "
+                            f"s={fsc})")
+            inter = {"lod_depth": d_lod, "scale": fsc,
+                     "fps": round(f3, 3)}
+            if s == 1.0:
+                q3 = _soft_quality(r3, scene_kits("blobs"),
+                                   "llff_interactive")
+                if q3 is not None:
+                    inter["quality"] = q3
+            extra["llff_interactive"] = inter
         except Exception as e:  # noqa: BLE001 -- fail-soft like _soft
             print(f"[bench] llff lod failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -746,25 +814,22 @@ def main():
 
     here = os.path.dirname(os.path.abspath(__file__))
 
-    def shell_fast():
+    def shell_fast(scale):
         """Fast-mode rung (PERF.md round 4): the canonical frame is
         gather-row bound at the machine floor, so the measured speed
         knob at full output size is fewer rays -- march at
         scale*800, joint-upsample image+aux through the fused denoise
         (the guided filter doubles as the upsampler).  The headline
-        stays full-res for round-over-round comparability; this rung
-        reports the speed/quality trade at the shipped default scale.
-        RT_BENCH_FAST=0 skips; RT_BENCH_FAST_SCALE overrides."""
-        if os.environ.get("RT_BENCH_FAST", "1") != "1":
-            return None
-        scale = float(os.environ.get("RT_BENCH_FAST_SCALE", "0.5"))
+        stays full-res for round-over-round comparability; each rung
+        reports the speed/quality trade at its scale with the trained
+        fast-mode distillation net when one ships."""
         iw = ih = max(1, round(800 * scale))
         sf, divf = auto_schedule(dt, [cam.transform], opt,
                                  cam.fx * (iw / 800), cam.fy * (ih / 800),
                                  iw, ih, with_shade_div=True)
         rf = Renderer(dt, 800, 800, cam.fx, cam.fy, options=opt,
                       schedule=sf, shade_cap_div=divf, render_scale=scale)
-        if not _fast_denoiser(rf, "shell") and r.net_cfg is not None:
+        if not _fast_denoiser(rf, "shell", scale) and r.net_cfg is not None:
             rf.set_denoiser(r.net_cfg, r.net_params)
         fps_f = _timed_fps(rf, cam.transform, f"shell fast s={scale}")
         q = _soft_quality(rf, [os.path.join(CACHE, "quality_ds"),
@@ -775,51 +840,79 @@ def main():
             res["quality"] = q
         return res
 
-    fps_mp = _soft(multipose_fps)
-    quality = _soft(quality_report, r,
-                    [os.path.join(CACHE, "quality_ds"),
-                     os.path.join(here, "benchmarks", "quality")])
-    fast = _soft(shell_fast)
-    solid = (_soft(second_scene_fps, r.net_cfg, r.net_params)
-             or (None, None, {}))
-    llff = (_soft(llff_scene_fps, r.net_cfg, r.net_params)
-            or (None, None, {}))
-    tt = _soft(tt_scene_fps, r.net_cfg, r.net_params) or (None, None, {})
-    fps_solid, qual_solid, extra_solid = solid
-    fps_llff, qual_llff, extra_llff = llff
-    fps_tt, qual_tt, extra_tt = tt
-    quant = _soft(quant_fidelity)
-
     out = {
         "metric": "fps_800x800_spp6_denoise_shell_d9",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
     }
-    if fps_mp is not None:
-        out["fps_multipose"] = round(fps_mp, 3)
+    _emit(out)
+
+    quality = _soft(quality_report, r,
+                    [os.path.join(CACHE, "quality_ds"),
+                     os.path.join(here, "benchmarks", "quality")])
     if quality is not None:
         out["quality"] = quality
-    if fast is not None:
-        out["fast"] = fast
-    if fps_solid is not None:
-        out["fps_solid_hard_surface"] = round(fps_solid, 3)
-    if qual_solid is not None:
-        out["quality_solid"] = qual_solid
-    out.update(extra_solid)
-    if fps_llff is not None:
-        out["fps_llff_ndc_1008x756"] = round(fps_llff, 3)
-    if qual_llff is not None:
-        out["quality_llff"] = qual_llff
-    out.update(extra_llff)
-    if fps_tt is not None:
-        out["fps_tt_1920x1080"] = round(fps_tt, 3)
-    if qual_tt is not None:
-        out["quality_tt"] = qual_tt
-    out.update(extra_tt)
-    if quant is not None:
-        out["quant"] = quant
-    print(json.dumps(out))
+        _emit(out)
+
+    # fast rungs, default 0.5 (round-over-round key "fast") and 0.4 (the
+    # >=30 FPS crossing, key "fast_s0.4"); RT_BENCH_FAST_SCALES overrides
+    if os.environ.get("RT_BENCH_FAST", "1") == "1":
+        scales = [float(s) for s in os.environ.get(
+            "RT_BENCH_FAST_SCALES",
+            os.environ.get("RT_BENCH_FAST_SCALE", "0.5,0.4")).split(",")]
+        for i, sc in enumerate(scales):
+            if _over_budget(f"fast s={sc}"):
+                break
+            res = _soft(shell_fast, sc)
+            if res is not None:
+                out["fast" if i == 0 else f"fast_s{sc}"] = res
+                _emit(out)
+
+    if not _over_budget("multipose"):
+        fps_mp = _soft(multipose_fps)
+        if fps_mp is not None:
+            out["fps_multipose"] = round(fps_mp, 3)
+            _emit(out)
+
+    if not _over_budget("solid scene"):
+        fps_solid, qual_solid, extra_solid = (
+            _soft(second_scene_fps, r.net_cfg, r.net_params)
+            or (None, None, {}))
+        if fps_solid is not None:
+            out["fps_solid_hard_surface"] = round(fps_solid, 3)
+        if qual_solid is not None:
+            out["quality_solid"] = qual_solid
+        out.update(extra_solid)
+        _emit(out)
+
+    if not _over_budget("tt scene"):
+        fps_tt, qual_tt, extra_tt = (
+            _soft(tt_scene_fps, r.net_cfg, r.net_params)
+            or (None, None, {}))
+        if fps_tt is not None:
+            out["fps_tt_1920x1080"] = round(fps_tt, 3)
+        if qual_tt is not None:
+            out["quality_tt"] = qual_tt
+        out.update(extra_tt)
+        _emit(out)
+
+    if not _over_budget("llff scene"):
+        fps_llff, qual_llff, extra_llff = (
+            _soft(llff_scene_fps, r.net_cfg, r.net_params)
+            or (None, None, {}))
+        if fps_llff is not None:
+            out["fps_llff_ndc_1008x756"] = round(fps_llff, 3)
+        if qual_llff is not None:
+            out["quality_llff"] = qual_llff
+        out.update(extra_llff)
+        _emit(out)
+
+    if not _over_budget("quant"):
+        quant = _soft(quant_fidelity)
+        if quant is not None:
+            out["quant"] = quant
+    _emit(out)
 
 
 if __name__ == "__main__":

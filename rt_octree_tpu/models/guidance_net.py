@@ -43,6 +43,18 @@ class GuidanceNetConfig:
     num_layers: int = 2
     num_branches: int = 5
     kernel_levels: int = 4
+    # additive extension (ops/filtering.py module doc): shift the level
+    # supports from (1..L) to (0..L-1) so level 0 is an exact per-pixel
+    # passthrough -- lets the predicted weight_map express a no-op on
+    # pixels the >=3x3 softmax average would only blur (hard surfaces
+    # near-converged at SPP=6).  False = bit-exact reference ladder.
+    identity_level: bool = False
+
+    def supports(self) -> tuple:
+        """Per-level filter supports fed to ops.filtering.guided_filter."""
+        L = self.kernel_levels
+        return tuple(range(0, L)) if self.identity_level else \
+            tuple(range(1, L + 1))
 
     def layer_channels(self) -> list[tuple[int, int]]:
         """(cin, cout) per RepVGG block (network.py:95-102)."""
@@ -171,7 +183,8 @@ def apply_filtering(model: nn.Module, params, aux_chw: jnp.ndarray,
     """
     aux_nhwc = jnp.moveaxis(aux_chw, 1, -1)
     weight, guidance = model.apply({"params": params}, aux_nhwc)
-    return guided_filter_batch(weight, guidance, img_in, exact=exact)
+    return guided_filter_batch(weight, guidance, img_in, exact=exact,
+                               supports=model.config.supports())
 
 
 # ---------------------------------------------------------------------------
@@ -195,6 +208,7 @@ def save_compact(path: str, cfg: GuidanceNetConfig, folded_params,
         "num_layers": cfg.num_layers,
         "num_branches": cfg.num_branches,
         "kernel_levels": cfg.kernel_levels,
+        "identity_level": cfg.identity_level,
         "layout": "NHWC/HWIO",
         "contract": "input [B,8,H,W] f32 -> (weight [B,L,H,W] softmaxed, "
                     "guidance [B,L,H,W]) f32",
@@ -225,7 +239,8 @@ def load_compact(path: str, with_meta: bool = False):
         mid_channels=header["mid_channels"],
         num_layers=header["num_layers"],
         num_branches=header["num_branches"],
-        kernel_levels=header["kernel_levels"])
+        kernel_levels=header["kernel_levels"],
+        identity_level=bool(header.get("identity_level", False)))
     template = jax.eval_shape(
         lambda: {f"block_{i}": {
             "kernel": jnp.zeros((3, 3, cin, cout), jnp.float32),

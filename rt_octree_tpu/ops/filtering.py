@@ -8,6 +8,16 @@ outputs are blended by the predicted per-pixel weight_map, with level 0
 overriding and deeper levels accumulating (equivalent, for a zeroed output
 buffer, to a weighted sum).  Output alpha is forced to 1.
 
+Additive extension (off by default): ``supports`` overrides the per-level
+kernel supports.  A support-0 level is an exact per-pixel PASSTHROUGH of
+the noisy rgb (the softmax over a 1x1 window is the identity, guidance
+drops out) -- it generalizes the reference's level semantics
+(filtering.cu:226-227 level-0 override) to let the predicted weight_map
+express a per-pixel no-op.  Measured motivation (PERF.md round 4): on
+hard-surface scenes the SPP=6 estimator is near-converged and every >=3x3
+softmax average COSTS quality; with an identity level the net can keep
+sharp pixels untouched while still filtering noisy ones.
+
 TPU redesign -- two implementations with identical math:
 
 * ``guided_filter_exact``: windowed max + K^2 shifted multiply-adds.
@@ -104,58 +114,80 @@ def _level_fast(weighted_img: jnp.ndarray, expg: jnp.ndarray, support: int):
 FAST_SAFE_RANGE = 60.0
 
 
-def _filter_all_exact(weight_map, guidance_map, rgb_in):
+def _resolve_supports(L: int, supports) -> tuple:
+    if supports is None:
+        return tuple(range(1, L + 1))
+    supports = tuple(int(s) for s in supports)
+    if len(supports) != L or any(s < 0 for s in supports):
+        raise ValueError(
+            f"supports {supports} must list one non-negative support per "
+            f"level (L={L})")
+    return supports
+
+
+def _filter_all_exact(weight_map, guidance_map, rgb_in, supports):
     out = jnp.zeros_like(rgb_in)
-    for l in range(weight_map.shape[0]):
-        f = _level_exact(rgb_in, guidance_map[l], l + 1)
+    for l, s in enumerate(supports):
+        f = rgb_in if s == 0 else _level_exact(rgb_in, guidance_map[l], s)
         out = out + weight_map[l][..., None] * f
     return out
 
 
-def _filter_all_fast(weight_map, guidance_map, rgb_in):
+def _filter_all_fast(weight_map, guidance_map, rgb_in, supports):
     # one global stabilizer per level keeps softmax invariant;
     # stop_gradient mirrors the reference's constant-max backward
     gmax = jax.lax.stop_gradient(
         jnp.max(guidance_map, axis=(1, 2), keepdims=True))
     expg = jnp.exp(guidance_map - gmax)  # [L, H, W]
     out = jnp.zeros_like(rgb_in)
-    for l in range(weight_map.shape[0]):
-        e = expg[l]
-        f = _level_fast(rgb_in * e[..., None], e, l + 1)
+    for l, s in enumerate(supports):
+        if s == 0:
+            f = rgb_in  # 1x1 softmax == identity; guidance drops out
+        else:
+            e = expg[l]
+            f = _level_fast(rgb_in * e[..., None], e, s)
         out = out + weight_map[l][..., None] * f
     return out
 
 
 def guided_filter(weight_map: jnp.ndarray, guidance_map: jnp.ndarray,
-                  img_in: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
+                  img_in: jnp.ndarray, exact: bool = False,
+                  supports=None) -> jnp.ndarray:
     """Full multi-level filter.
 
     weight_map, guidance_map: [L, H, W]; img_in: [H, W, >=3] (alpha ignored).
+    ``supports``: per-level kernel supports (default (1..L), the reference
+    ladder); support 0 is an exact passthrough level (see module doc).
     Returns [H, W, 4] with alpha == 1 (filtering.cu:48-60).
     """
     L = weight_map.shape[0]
+    supports = _resolve_supports(L, supports)
     rgb_in = img_in[..., :3]
     if exact:
-        out = _filter_all_exact(weight_map, guidance_map, rgb_in)
+        out = _filter_all_exact(weight_map, guidance_map, rgb_in, supports)
     else:
         # runtime guard: fast path only while the global stabilizer keeps
-        # every window's dominant logit representable (see module doc)
+        # every window's dominant logit representable (see module doc);
+        # passthrough levels take no exp and don't constrain the guard
         worst = jnp.float32(0.0)
-        for l in range(L):
-            wmax = _window_max(guidance_map[l], l + 1)
+        for l, s in enumerate(supports):
+            if s == 0:
+                continue
+            wmax = _window_max(guidance_map[l], s)
             gap = (jnp.max(guidance_map[l]) - jnp.min(wmax))
             worst = jnp.maximum(worst, gap)
         out = jax.lax.cond(
             worst < FAST_SAFE_RANGE,
-            lambda args: _filter_all_fast(*args),
-            lambda args: _filter_all_exact(*args),
+            lambda args: _filter_all_fast(*args, supports),
+            lambda args: _filter_all_exact(*args, supports),
             (weight_map, guidance_map, rgb_in))
     alpha = jnp.ones(out.shape[:-1] + (1,), out.dtype)
     return jnp.concatenate([out, alpha], axis=-1)
 
 
 def guided_filter_batch(weight_map: jnp.ndarray, guidance_map: jnp.ndarray,
-                        img_in: jnp.ndarray, exact: bool = False):
+                        img_in: jnp.ndarray, exact: bool = False,
+                        supports=None):
     """Batched: weight/guidance [B, L, H, W], img_in [B, H, W, >=3]."""
-    return jax.vmap(lambda w, g, i: guided_filter(w, g, i, exact))(
+    return jax.vmap(lambda w, g, i: guided_filter(w, g, i, exact, supports))(
         weight_map, guidance_map, img_in)

@@ -125,6 +125,19 @@ def make_sharded_frame_renderer(mesh: Mesh, tree, width: int, height: int,
     iw = max(1, round(width * render_scale))
     ih = max(1, round(height * render_scale))
     fast = (iw, ih) != (width, height)
+    # factory-time validation (ADVICE r4): a non-divisible inner
+    # resolution otherwise surfaces as an opaque shard_map/XLA
+    # partitioning error at trace time
+    n_dev = mesh.size
+    if (iw * ih) % n_dev or ih % n_dev:
+        raise ValueError(
+            f"render_scale={render_scale} gives inner resolution "
+            f"{iw}x{ih}; both ih and iw*ih must divide the device mesh "
+            f"size {n_dev} (H rows are sharded over {mesh.axis_names})")
+    if fast and height % n_dev:
+        raise ValueError(
+            f"fast mode upsamples to {width}x{height}, whose H={height} "
+            f"rows must divide the device mesh size {n_dev}")
     fx_in, fy_in = fx * (iw / width), fy * (ih / height)
     repl = NamedSharding(mesh, P())
     ray_axes = ("dp", "sp")
@@ -230,7 +243,8 @@ def make_sharded_train_step(mesh: Mesh, cfg: GuidanceNetConfig,
         def loss_of(p):
             aux_nhwc = jnp.moveaxis(aux, 1, -1)
             weight, guidance = model.apply({"params": p}, aux_nhwc)
-            out = guided_filter_batch(weight, guidance, img_in)
+            out = guided_filter_batch(weight, guidance, img_in,
+                                      supports=cfg.supports())
             return loss_fn(out[..., :3], img_gt[..., :3])
 
         loss, grads = jax.value_and_grad(loss_of)(params)

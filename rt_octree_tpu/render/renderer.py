@@ -1245,7 +1245,8 @@ def _denoise(aux_nhwc, noisy_img, net_params, net_cfg: GuidanceNetConfig):
     sits between the march and the convs."""
     model = GuidanceNetCompact(net_cfg)
     weight, guidance = model.apply({"params": net_params}, aux_nhwc[None])
-    return guided_filter(weight[0], guidance[0], noisy_img)
+    return guided_filter(weight[0], guidance[0], noisy_img,
+                         supports=net_cfg.supports())
 
 
 @functools.partial(
@@ -1500,9 +1501,9 @@ def _net_forward_jit(aux, net_params, *, net_cfg: GuidanceNetConfig):
     return weight[0], guidance[0]
 
 
-@jax.jit
-def _filter_jit(weight, guidance, noisy_img):
-    return guided_filter(weight, guidance, noisy_img)
+@functools.partial(jax.jit, static_argnames=("supports",))
+def _filter_jit(weight, guidance, noisy_img, supports=None):
+    return guided_filter(weight, guidance, noisy_img, supports=supports)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
@@ -1575,7 +1576,8 @@ def render_timed(renderer: "Renderer", transform, timer,
                 aux, renderer.net_params, net_cfg=renderer.net_cfg)
             sync(weight)
         with timer.phase(T_FILTER):
-            img = _filter_jit(weight, guidance, img)
+            img = _filter_jit(weight, guidance, img,
+                              supports=renderer.net_cfg.supports())
             sync(img)
     if probe and opt.enable_probe:
         from .probe import apply_probe_overlay, retrieve_cursor_lumisphere

@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_layers", type=int, default=8)
     p.add_argument("--num_branches", type=int, default=3)
     p.add_argument("--kernel_levels", type=int, default=8)
+    p.add_argument("--identity_level", action="store_true",
+                   help="shift filter supports to (0..L-1): level 0 is an "
+                        "exact per-pixel passthrough (ops/filtering.py)")
     p.add_argument("--loss_fn", type=str, default="smape")
     p.add_argument("--lr", type=float, default=5e-4)
     p.add_argument("--epochs", type=int, default=30000)
@@ -66,7 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-_BOOL_FLAGS = {"preload", "use_wandb", "save_image"}
+_BOOL_FLAGS = {"preload", "use_wandb", "save_image", "identity_level"}
 
 
 def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:

@@ -61,7 +61,8 @@ class Runner:
         self.net_cfg = GuidanceNetConfig(
             in_channels=args.in_channels, mid_channels=args.mid_channels,
             num_layers=args.num_layers, num_branches=args.num_branches,
-            kernel_levels=args.kernel_levels)
+            kernel_levels=args.kernel_levels,
+            identity_level=bool(getattr(args, "identity_level", False)))
         self.model = GuidanceNet(self.net_cfg)
         self.epoch = 0
         if args.task in ("train", "test"):
@@ -102,7 +103,8 @@ class Runner:
             def loss_of(p):
                 aux_nhwc = jnp.moveaxis(aux, 1, -1)
                 weight, guidance = model.apply({"params": p}, aux_nhwc)
-                out = guided_filter_batch(weight, guidance, img_in)
+                out = guided_filter_batch(weight, guidance, img_in,
+                                          supports=model.config.supports())
                 return loss_fn(out[..., :3], img_gt[..., :3])
 
             loss, grads = jax.value_and_grad(loss_of)(params)
@@ -291,7 +293,8 @@ def _make_compact_filter(compact_model: GuidanceNetCompact):
     def apply(folded, aux, img_in):
         aux_nhwc = jnp.moveaxis(aux, 1, -1)
         weight, guidance = compact_model.apply({"params": folded}, aux_nhwc)
-        return guided_filter_batch(weight, guidance, img_in)
+        return guided_filter_batch(weight, guidance, img_in,
+                                   supports=compact_model.config.supports())
     return apply
 
 

@@ -178,6 +178,76 @@ def test_fast_filter_with_trained_guidance(np_rng):
 
     img = jnp.asarray(rgba)
     out_fast = guided_filter(weight[0], guidance[0], img)
-    out_exact = _filter_all_exact(weight[0], guidance[0], img[..., :3])
+    out_exact = _filter_all_exact(weight[0], guidance[0], img[..., :3],
+                                  cfg.supports())
     np.testing.assert_allclose(np.asarray(out_fast)[..., :3],
                                np.asarray(out_exact), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# identity (support-0 passthrough) level -- additive extension
+# ---------------------------------------------------------------------------
+
+def naive_filter_supports(weight, guidance, img, supports):
+    """naive_filter generalized to arbitrary per-level supports; s=0 is
+    the 1x1 window, whose softmax average is exactly the center pixel."""
+    L, H, W = weight.shape
+    out = np.zeros((H, W, 3), np.float64)
+    for l, s in enumerate(supports):
+        for y in range(H):
+            for x in range(W):
+                y0, y1 = max(y - s, 0), min(y + s, H - 1)
+                x0, x1 = max(x - s, 0), min(x + s, W - 1)
+                g = guidance[l, y0:y1 + 1, x0:x1 + 1].astype(np.float64)
+                k = np.exp(g - g.max())
+                num = (img[y0:y1 + 1, x0:x1 + 1, :3] *
+                       k[..., None]).sum((0, 1))
+                out[y, x] += weight[l, y, x] * num / k.sum()
+    return np.concatenate([out, np.ones((H, W, 1))], -1).astype(np.float32)
+
+
+def test_identity_supports_match_naive(small_inputs):
+    weight, guidance, img = small_inputs
+    sup = (0, 1, 2)
+    for exact in (True, False):
+        ours = np.asarray(guided_filter(weight, guidance, img,
+                                        exact=exact, supports=sup))
+        ref = naive_filter_supports(np.asarray(weight), np.asarray(guidance),
+                                    np.asarray(img), sup)
+        np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_identity_level_is_exact_passthrough(small_inputs):
+    """With all weight on the support-0 level the output rgb must be
+    BIT-exact the input rgb -- the representational floor the reference
+    ladder lacks (its smallest kernel is 3x3)."""
+    weight, guidance, img = small_inputs
+    w = np.zeros_like(np.asarray(weight))
+    w[0] = 1.0
+    for exact in (True, False):
+        out = np.asarray(guided_filter(jnp.asarray(w), guidance, img,
+                                       exact=exact, supports=(0, 1, 2)))
+        np.testing.assert_array_equal(out[..., :3], np.asarray(img)[..., :3])
+
+
+def test_identity_supports_gradients_finite(small_inputs):
+    weight, guidance, img = small_inputs
+
+    def loss(w, g):
+        out = guided_filter(w, g, img, supports=(0, 1, 2))
+        return jnp.sum(out[..., :3] ** 2)
+
+    gw, gg = jax.grad(loss, (0, 1))(weight, guidance)
+    assert np.isfinite(np.asarray(gw)).all()
+    assert np.isfinite(np.asarray(gg)).all()
+    # guidance of the passthrough level gets exactly zero gradient
+    np.testing.assert_array_equal(np.asarray(gg[0]),
+                                  np.zeros_like(np.asarray(gg[0])))
+
+
+def test_bad_supports_raise(small_inputs):
+    weight, guidance, img = small_inputs
+    with pytest.raises(ValueError):
+        guided_filter(weight, guidance, img, supports=(1, 2))  # wrong L
+    with pytest.raises(ValueError):
+        guided_filter(weight, guidance, img, supports=(-1, 1, 2))

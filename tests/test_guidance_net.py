@@ -125,3 +125,29 @@ def test_export_meta_roundtrip(tmp_path, cfg, params):
     assert meta4 == {"denoise_recommended": True, "note": "hurts"}
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), params2, params4)
+
+
+def test_identity_level_header_roundtrip(tmp_path):
+    """identity_level (the support-0 passthrough extension) survives the
+    .gnet header round-trip; absent key loads as False (old artifacts)."""
+    cfg = GuidanceNetConfig(identity_level=True)
+    assert cfg.supports() == (0, 1, 2, 3)
+    assert GuidanceNetConfig().supports() == (1, 2, 3, 4)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ts_ident.gnet")
+    compact_and_export(cfg, params, path)
+    cfg2, _ = load_compact(path)
+    assert cfg2.identity_level is True
+    assert cfg2 == cfg
+
+
+def test_identity_level_pipeline(np_rng):
+    """End-to-end filtering with an identity-level config: finite, and a
+    weight map concentrated on level 0 passes the input rgb through."""
+    cfg = GuidanceNetConfig(identity_level=True)
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    aux = jax.random.uniform(jax.random.PRNGKey(5), (1, 8, 10, 10))
+    img_in = jnp.moveaxis(aux[:, :4], 1, -1)
+    out = apply_filtering(GuidanceNet(cfg), params, aux, img_in)
+    assert out.shape == (1, 10, 10, 4)
+    assert np.isfinite(np.asarray(out)).all()
