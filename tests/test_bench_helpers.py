@@ -58,3 +58,37 @@ def test_fast_denoiser_missing_everything_returns_false(monkeypatch,
     r = _Rec()
     assert not bench._fast_denoiser(r, "no_such_scene")
     assert r.paths == []
+
+
+def test_fast_denoiser_scale_specific_wins(monkeypatch, tmp_path):
+    """A scale-specific artifact (trained at that scale) outranks both
+    the generic fast net and the training-log candidates."""
+    bench = _patched_cache(monkeypatch, tmp_path)
+    d = tmp_path / "quality_ds_fast_s0.4" / "logs" / "fast_s0.4"
+    d.mkdir(parents=True)
+    (d / "ts_000120.gnet").write_bytes(b"x")
+    g = tmp_path / "quality_ds_fast" / "logs" / "fast"
+    g.mkdir(parents=True)
+    (g / "ts_000250.gnet").write_bytes(b"x")
+    r = _Rec()
+    assert bench._fast_denoiser(r, "shell", 0.4)
+    assert r.paths == [str(d / "ts_000120.gnet")]
+    # without a scale, the generic candidates still win
+    r2 = _Rec()
+    assert bench._fast_denoiser(r2, "shell")
+    assert r2.paths == [str(g / "ts_000250.gnet")]
+
+
+def test_emit_and_budget(monkeypatch, capsys):
+    import json
+    import bench
+    out = {"metric": "m", "value": 1.0}
+    bench._emit(out)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line) == out
+    # no budget set -> never over
+    monkeypatch.setattr(bench, "BUDGET_S", 0.0)
+    assert not bench._over_budget("x")
+    # tiny budget against the process start time -> over
+    monkeypatch.setattr(bench, "BUDGET_S", 1e-6)
+    assert bench._over_budget("x")
