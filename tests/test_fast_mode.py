@@ -115,3 +115,29 @@ def test_fast_mode_split_phase_matches_fused(dtree):
     split, _ = render_timed(r2, cam.transform, PhaseTimer())
     np.testing.assert_allclose(np.asarray(fused), np.asarray(split),
                                atol=2e-5)
+
+
+def test_lod_composes_with_fast_mode(dtree):
+    """The bench's llff_interactive rung composes BOTH row-count levers:
+    a depth-capped LOD tree marched at a sub-resolution with the fused
+    denoise upsampling to the output size.  Pin the composition: finite
+    output at the full output shape, and the LOD tree really is capped."""
+    from rt_octree_tpu.io import synthetic as syn
+    from rt_octree_tpu.io.lod import build_lod
+    from rt_octree_tpu.models.guidance_net import (
+        GuidanceNetConfig, compact_params, init_params)
+
+    tree = syn.make_synthetic_tree("shell", depth=4, basis_dim=1)
+    tl = build_lod(tree, 3)
+    assert tl.max_depth <= 3
+    dtl = upload_tree(tl, lut_levels=3)
+    r, cam = _mk(dtl, 0.5, denoise=True)
+    cfg = GuidanceNetConfig(in_channels=8, mid_channels=8, num_layers=2,
+                            num_branches=2, kernel_levels=2,
+                            identity_level=True)
+    r.set_denoiser(cfg, compact_params(cfg, init_params(
+        cfg, jax.random.PRNGKey(0))))
+    img, aux = r.render(cam.transform)
+    assert img.shape == (16, 24, 4)
+    assert aux.shape == (8, 16, 24)
+    assert np.isfinite(np.asarray(img)).all()
