@@ -125,18 +125,34 @@ def main():
                        schedule=sch_s, shade_cap_div=div_s,
                        render_scale=RS)
 
+    import jax.numpy as jnp
+
+    # teacher frames cross the tunnel as u8 (device-side x255 truncation,
+    # bit-identical to io.images.to_uint8): 1/16 the bytes of the f32
+    # frame at the ~8-15 MB/s link
+    @jax.jit
+    def _gt_u8(img):
+        return (jnp.clip(img[..., :3], 0.0, 1.0) * 255).astype(jnp.uint8)
+
     def dump(split, name, transform, gt_png=None):
         """Render the student buf for one pose; write GT (teacher render
-        unless a real-GT png is supplied)."""
+        unless a real-GT png is supplied).  TRAIN bufs may cross the
+        tunnel as f16 (QD_F16_TRAIN_BUFS=0 forces f32); TEST bufs are
+        always f32 -- they are eval-protocol inputs."""
         img_s, aux = student.render(transform)
         student.advance_rng()
-        np.asarray(aux, np.float32).tofile(
+        if (split == "train"
+                and os.environ.get("QD_F16_TRAIN_BUFS", "1") == "1"):
+            aux_np = np.asarray(aux.astype(jnp.float16))
+        else:
+            aux_np = np.asarray(aux)
+        aux_np.astype(np.float32).tofile(
             os.path.join(OUT, f"spp_{SPP}", split, f"buf_{name}.bin"))
         if gt_png is None:
             img_t, _ = teacher.render(transform)
             teacher.advance_rng()
             write_png(os.path.join(OUT, split, f"{name}.png"),
-                      np.asarray(img_t)[..., :3])
+                      np.asarray(_gt_u8(img_t)))
         else:
             shutil.copyfile(gt_png, os.path.join(OUT, split,
                                                  f"{name}.png"))

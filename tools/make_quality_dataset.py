@@ -154,6 +154,17 @@ def main():
     r_gt = Renderer(dt, W, H, cam0.fx, cam0.fy, options=gt_opt,
                     max_steps=16384)
 
+    # GT frames cross the tunnel as u8 (x255 truncation ON DEVICE --
+    # bit-identical to io.images.to_uint8 since both are IEEE f32
+    # multiply + truncating cast): 1.9MB/pose instead of 10MB at the
+    # ~8-15 MB/s link.  Scalar stats ride along so no float frame ever
+    # crosses.
+    @jax.jit
+    def _gt_pack(img):
+        rgb = img[..., :3]
+        u8 = (jnp.clip(rgb, 0.0, 1.0) * 255).astype(jnp.uint8)
+        return u8, jnp.mean(rgb)
+
     for split in SPLITS:
         os.makedirs(os.path.join(OUT, split), exist_ok=True)
         if not GT_ONLY:
@@ -168,20 +179,31 @@ def main():
             if not GT_ONLY:
                 img_n, aux = r_noisy.render(cam.transform)
                 r_noisy.advance_rng()
-                aux = np.asarray(aux)
+                # TRAIN bufs may cross the tunnel as f16 (halves the
+                # dominant per-pose readback; ~5e-4 rel rounding on
+                # *training inputs* only).  TEST bufs always cross f32:
+                # they are eval-protocol inputs (eval_gnet_kit noisy
+                # PSNR) and stay bit-exact.  QD_F16_TRAIN_BUFS=0 forces
+                # f32 everywhere.
+                f16_ok = (split == "train" and os.environ.get(
+                    "QD_F16_TRAIN_BUFS", "1") == "1")
+                if f16_ok:
+                    aux = np.asarray(aux.astype(jnp.float16))
+                else:
+                    aux = np.asarray(aux)
                 aux.astype(np.float32).tofile(os.path.join(
                     OUT, f"spp_{SPP}", split, f"buf_{name}.bin"))
                 alpha_max = float(aux[3].max())
             img_gt, _ = r_gt.render(cam.transform)
-            img_gt = np.asarray(img_gt)
+            gt_u8, gt_mean = _gt_pack(img_gt)
             write_png(os.path.join(OUT, split, f"{name}.png"),
-                      img_gt[..., :3])
+                      np.asarray(gt_u8))
             c2w = np.eye(4, dtype=np.float32)
             c2w[:3, :] = cam.transform
             frames.append({"file_path": f"./{split}/{name}",
                            "transform_matrix": c2w.tolist()})
             print(f"[{split} {i+1}/{len(poses[split])}] "
-                  f"gt_mean={img_gt[..., :3].mean():.4f} "
+                  f"gt_mean={float(gt_mean):.4f} "
                   f"noisy_alpha_max={alpha_max:.3f}", flush=True)
         with open(os.path.join(OUT, f"transforms_{split}.json"), "w") as f:
             json.dump({"camera_angle_x": 2 * np.arctan(
