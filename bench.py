@@ -897,6 +897,15 @@ def main():
         out.update(extra_tt)
         _emit(out)
 
+    # quant before llff: the llff section is the slowest (its compiles
+    # alone can run ~10+ min cold), so a budget/timeout kill mid-llff
+    # must not also lose the cheap quant rung behind it
+    if not _over_budget("quant"):
+        quant = _soft(quant_fidelity)
+        if quant is not None:
+            out["quant"] = quant
+            _emit(out)
+
     if not _over_budget("llff scene"):
         fps_llff, qual_llff, extra_llff = (
             _soft(llff_scene_fps, r.net_cfg, r.net_params)
@@ -906,12 +915,6 @@ def main():
         if qual_llff is not None:
             out["quality_llff"] = qual_llff
         out.update(extra_llff)
-        _emit(out)
-
-    if not _over_budget("quant"):
-        quant = _soft(quant_fidelity)
-        if quant is not None:
-            out["quant"] = quant
     _emit(out)
 
 

@@ -142,15 +142,17 @@ def main():
     gt_opt = RenderOptions(spp=1, denoise=False, estimator="classic")
     # non-shell scenes need their own survivor-curve schedule (the
     # shell-tuned defaults overflow or under-run elsewhere, PERF.md)
-    sched = None
     r_noisy = None
     if not GT_ONLY:
+        kw = {}
         if SCENE != "shell":
-            sched = auto_schedule(dt, [cam0.transform], noisy_opt,
-                                  cam0.fx, cam0.fy, W, H)
-            print(f"auto schedule: {sched}", flush=True)
+            kw["schedule"] = auto_schedule(dt, [cam0.transform], noisy_opt,
+                                           cam0.fx, cam0.fy, W, H)
+            print(f"auto schedule: {kw['schedule']}", flush=True)
+        # shell keeps the bench-tuned DEFAULT_SCHEDULE (passing None
+        # explicitly would override the Renderer default and crash)
         r_noisy = Renderer(dt, W, H, cam0.fx, cam0.fy, options=noisy_opt,
-                           schedule=sched)
+                           **kw)
     r_gt = Renderer(dt, W, H, cam0.fx, cam0.fy, options=gt_opt,
                     max_steps=16384)
 
