@@ -912,6 +912,9 @@ def test_quality_kit_dataset_e2e(tmp_path):
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
            "RT_BENCH_CACHE": str(cache), "RT_BENCH_DEPTH": "5",
            "QD_SCENE": "solid", "QD_SPLITS": "test", "QD_TEST": "1",
+           # the uniform-protocol gate asserts poses == RT_BENCH_QPOSES
+           # (default 8); this tiny kit has exactly one pose
+           "RT_BENCH_QPOSES": "1",
            "QD_RES": "64"}
     r = subprocess.run(
         [sys.executable, os.path.join(root, "tools",
