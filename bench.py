@@ -235,12 +235,14 @@ def scene_denoiser(r, scene, net_cfg, net_params, fallbacks=()):
               file=sys.stderr)
 
 
-def _fast_denoiser(r, scene, scale=None):
+def _fast_denoiser(r, scene, scale=None, variant=None):
     """Prefer a FAST-MODE-trained distillation net for a fast rung
     (tools/make_fast_kit.py): the full-res-trained nets are nearly
     inert on joint-upsampled input (PERF.md fast-mode section).  A
-    scale-specific artifact (fast_s<scale>.gnet) wins over the generic
-    one.  Returns True when one was installed."""
+    VARIANT-specific artifact (fast_<variant>_s<scale>.gnet, e.g. the
+    lod8-student net for the llff interactive rung) wins over the
+    scale-specific one (fast_s<scale>.gnet), which wins over the
+    generic one.  Returns True when one was installed."""
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
     sub = ("quality_ds_fast" if scene == "shell"
@@ -248,6 +250,13 @@ def _fast_denoiser(r, scene, scale=None):
     exp = "fast" if scene == "shell" else f"fast_{scene}"
     kitdir = "quality" if scene == "shell" else f"quality_{scene}"
     cand_paths = []
+    if variant is not None and scale is not None:
+        cand_paths += sorted(glob.glob(os.path.join(
+            CACHE, f"{sub}_{variant}", "logs", f"{exp}_{variant}",
+            "ts_*.gnet")))[-1:]
+        cand_paths.append(os.path.join(
+            here, "benchmarks", kitdir,
+            f"fast_{variant}_s{scale}.gnet"))
     if scale is not None:
         cand_paths += sorted(glob.glob(os.path.join(
             CACHE, f"{sub}_s{scale}", "logs", f"{exp}_s{scale}",
@@ -590,7 +599,10 @@ def llff_scene_fps(net_cfg, net_params):
             r3 = Renderer(dtl, W, H, cam.fx, cam.fy, options=opt,
                           schedule=sch3, shade_cap_div=div3,
                           render_scale=fsc)
-            if not _fast_denoiser(r3, "blobs", fsc):
+            # an interactive-matched net (student marched the LOD tree,
+            # make_fast_kit QD_LOD) wins over the full-depth fast net
+            if not _fast_denoiser(r3, "blobs", fsc,
+                                  variant=f"lod{d_lod}"):
                 scene_denoiser(r3, "blobs", net_cfg, net_params)
             f3 = _timed_fps(r3, cam.transform,
                             f"llff interactive (lod d{d_lod} x fast "

@@ -79,6 +79,26 @@ def test_fast_denoiser_scale_specific_wins(monkeypatch, tmp_path):
     assert r2.paths == [str(g / "ts_000250.gnet")]
 
 
+def test_fast_denoiser_variant_wins(monkeypatch, tmp_path):
+    """A variant-specific artifact (e.g. the lod8-student net the llff
+    interactive rung marches) outranks scale-specific and generic."""
+    bench = _patched_cache(monkeypatch, tmp_path)
+    v = tmp_path / "quality_ds_fast_blobs_lod8" / "logs" / \
+        "fast_blobs_lod8"
+    v.mkdir(parents=True)
+    (v / "ts_000250.gnet").write_bytes(b"x")
+    g = tmp_path / "quality_ds_fast_blobs" / "logs" / "fast_blobs"
+    g.mkdir(parents=True)
+    (g / "ts_000250.gnet").write_bytes(b"x")
+    r = _Rec()
+    assert bench._fast_denoiser(r, "blobs", 0.5, variant="lod8")
+    assert r.paths == [str(v / "ts_000250.gnet")]
+    # without the variant, the generic candidate wins as before
+    r2 = _Rec()
+    assert bench._fast_denoiser(r2, "blobs", 0.5)
+    assert r2.paths == [str(g / "ts_000250.gnet")]
+
+
 def test_emit_and_budget(monkeypatch, capsys):
     import json
     import bench

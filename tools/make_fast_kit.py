@@ -95,6 +95,20 @@ def main():
         tree.ndc_height = float(H)
         tree.ndc_focal = FOCAL
     dt = upload_tree(tree, lut_levels=min(9, tree.max_depth))
+    # QD_LOD=<d>: the STUDENT marches the depth-capped LOD tree
+    # (io/lod.py) -- matches the production llff interactive rung
+    # (bench.py: lod d8 x fast s=0.5), whose input distribution differs
+    # from the full-depth fast path.  The teacher stays full-depth
+    # full-res: the quality anchor does not move.
+    lod_d = int(os.environ.get("QD_LOD", "0"))
+    if lod_d:
+        from rt_octree_tpu.io.lod import build_lod
+        tree_s = build_lod(tree, lod_d)
+        dt_s = upload_tree(tree_s, lut_levels=min(9, tree_s.max_depth))
+        print(f"[fastkit] student tree: LOD depth {lod_d} "
+              f"({tree_s.capacity} nodes)", flush=True)
+    else:
+        dt_s = dt
     opt_t = RenderOptions(spp=SPP, denoise=True, step_size=1e-4,
                           sigma_thresh=1e-2, background_brightness=1.0)
     opt_s = RenderOptions(spp=SPP, denoise=False, step_size=1e-4,
