@@ -132,10 +132,10 @@ def main():
     # student input: the production fast path (march at RS, denoise off,
     # aux joint-upsampled to the output resolution)
     iw, ih = max(1, round(W * RS)), max(1, round(H * RS))
-    sch_s, div_s = auto_schedule(dt, [cam0.transform], opt_s,
+    sch_s, div_s = auto_schedule(dt_s, [cam0.transform], opt_s,
                                  cam0.fx * (iw / W), cam0.fy * (ih / H),
                                  iw, ih, with_shade_div=True)
-    student = Renderer(dt, W, H, cam0.fx, cam0.fy, options=opt_s,
+    student = Renderer(dt_s, W, H, cam0.fx, cam0.fy, options=opt_s,
                        schedule=sch_s, shade_cap_div=div_s,
                        render_scale=RS)
 
